@@ -1,0 +1,59 @@
+"""Atomic JSON commit log for the LocalLakeBackend.
+
+One file per table version under ``<table>/_log/v{n:08d}.json``. Commit is
+write-tmp → fsync → hard-link to the final name: `os.link` fails if the
+version already exists, which is the optimistic-concurrency check (the
+local stand-in for an Iceberg catalog's atomic snapshot swap —
+SURVEY.md §4.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first."""
+
+
+def log_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_log")
+
+
+def _version_path(table_dir: str, version: int) -> str:
+    return os.path.join(log_dir(table_dir), f"v{version:08d}.json")
+
+
+def current_version(table_dir: str) -> int | None:
+    d = log_dir(table_dir)
+    if not os.path.isdir(d):
+        return None
+    versions = [
+        int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(versions) if versions else None
+
+
+def read_commit(table_dir: str, version: int) -> dict:
+    with open(_version_path(table_dir, version)) as fh:
+        return json.load(fh)
+
+
+def write_commit(table_dir: str, record: dict) -> None:
+    """Atomically publish `record` as version record['version']."""
+    d = log_dir(table_dir)
+    os.makedirs(d, exist_ok=True)
+    final = _version_path(table_dir, record["version"])
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(record, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError as exc:  # pragma: no cover - concurrency guard
+        raise CommitConflict(f"version {record['version']} already committed") from exc
+    finally:
+        os.unlink(tmp)

@@ -1,0 +1,423 @@
+"""LocalLakeBackend: an Iceberg-semantics table on plain Parquet + commit log.
+
+Design (SURVEY.md §4.4): data files live under ``data/c{version}/bucket=<b>/``;
+each commit records the full live-file list, the schema (stable field ids,
+like Iceberg's), per-pipeline epoch fences, and properties. MERGE-equivalent
+upsert rewrites ONLY the hash-buckets touched by the batch — the local
+analogue of Iceberg's ``bucket(N, repo)`` partition spec keeping MERGE
+write amplification proportional to touched keys, not table size.
+
+Rows carry two system columns: ``_seq`` (ordering metadata of the last
+applied event) and ``_op`` (last op; ``D`` rows are retained as tombstones
+and filtered from public reads). Tombstones make the merge idempotent and
+order-tolerant: an event only wins if its seq exceeds the stored one, so
+re-delivery and modest cross-batch reordering cannot corrupt state — the
+Spark-native restatement of the reference's status-based skip of
+already-processed docs [F-ES: DocumentIngestionService — UNVERIFIED,
+SURVEY.md §0].
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from foundry_es_spark.lake import log as commitlog
+
+SYS_COLS = ["_seq", "_op"]
+
+# Allowed type promotions (Iceberg evolution rules).
+WIDENINGS = {
+    ("int", "bigint"),
+    ("int", "double"),
+    ("bigint", "double"),
+    ("float", "double"),
+    ("date", "timestamp"),
+}
+
+
+@dataclass
+class LakeField:
+    id: int
+    name: str
+    type: str  # Spark DDL type string
+    nullable: bool = True
+
+    def to_json(self) -> dict:
+        return {"id": self.id, "name": self.name, "type": self.type, "nullable": self.nullable}
+
+    @staticmethod
+    def from_json(d: dict) -> "LakeField":
+        return LakeField(d["id"], d["name"], d["type"], d.get("nullable", True))
+
+    def spark_type(self) -> T.DataType:
+        return T._parse_datatype_string(self.type)
+
+
+def _fields_to_struct(fields: list[LakeField], with_sys: bool = True) -> T.StructType:
+    out = [T.StructField(f.name, f.spark_type(), f.nullable) for f in fields]
+    if with_sys:
+        out.append(T.StructField("_seq", T.LongType(), False))
+        out.append(T.StructField("_op", T.StringType(), False))
+    return T.StructType(out)
+
+
+def bucket_expr(n_buckets: int):
+    """Bucket assignment — pmod(xxhash64(repo), N). On the Iceberg backend
+    this is the partition spec ``bucket(N, repo)``; co-locating a repo's
+    keys keeps the merge shuffle aligned with the write layout."""
+    return F.pmod(F.xxhash64(F.col("repo")), F.lit(n_buckets)).cast("int")
+
+
+class LakeTable:
+    """One lake table rooted at `table_dir`. Single-writer per table."""
+
+    def __init__(self, spark: SparkSession, table_dir: str):
+        self.spark = spark
+        self.table_dir = table_dir
+
+    # ------------------------------------------------------------------ DDL
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        table_dir: str,
+        fields: list[tuple[str, str]] | list[LakeField],
+        n_buckets: int = 16,
+        key_cols: tuple[str, str] = ("repo", "path"),
+        props: dict | None = None,
+    ) -> "LakeTable":
+        if commitlog.current_version(table_dir) is not None:
+            raise ValueError(f"table already exists at {table_dir}")
+        lf = [
+            f if isinstance(f, LakeField) else LakeField(i + 1, f[0], f[1])
+            for i, f in enumerate(fields)
+        ]
+        record = {
+            "version": 0,
+            "schema_version": 0,
+            "schemas": {"0": [f.to_json() for f in lf]},
+            "next_field_id": max(f.id for f in lf) + 1,
+            "files": [],
+            "fences": {},
+            "n_buckets": n_buckets,
+            "key_cols": list(key_cols),
+            "props": props or {},
+        }
+        commitlog.write_commit(table_dir, record)
+        return LakeTable(spark, table_dir)
+
+    @staticmethod
+    def exists(table_dir: str) -> bool:
+        return commitlog.current_version(table_dir) is not None
+
+    # ------------------------------------------------------------ snapshot
+
+    def _current(self) -> dict:
+        v = commitlog.current_version(self.table_dir)
+        if v is None:
+            raise ValueError(f"no table at {self.table_dir}")
+        rec = commitlog.read_commit(self.table_dir, v)
+        # per-commit payload; must not be inherited by the next commit
+        rec.pop("epoch_info", None)
+        return rec
+
+    def schema_fields(self, rec: dict | None = None, schema_version: int | None = None) -> list[LakeField]:
+        rec = rec or self._current()
+        sv = rec["schema_version"] if schema_version is None else schema_version
+        return [LakeField.from_json(d) for d in rec["schemas"][str(sv)]]
+
+    def spark_schema(self, with_sys: bool = False) -> T.StructType:
+        return _fields_to_struct(self.schema_fields(), with_sys=with_sys)
+
+    def properties(self) -> dict:
+        return self._current()["props"]
+
+    # -------------------------------------------------------------- fences
+
+    def is_epoch_committed(self, pipeline_id: str, epoch_id: int) -> bool:
+        fences = self._current()["fences"].get(pipeline_id, {})
+        return epoch_id <= fences.get("max_epoch", -1) or epoch_id in fences.get("extra", [])
+
+    def last_epoch(self, pipeline_id: str) -> int:
+        return self._current()["fences"].get(pipeline_id, {}).get("max_epoch", -1)
+
+    @staticmethod
+    def _advance_fence(fences: dict, pipeline_id: str, epoch_id: int) -> dict:
+        """Record epoch_id. Contiguous epochs collapse into max_epoch; gaps
+        (backfill chunks applied out of order) go to an `extra` set that is
+        re-collapsed on each advance — bounded state even at 10^10 events."""
+        f = dict(fences.get(pipeline_id, {"max_epoch": -1, "extra": []}))
+        extra = set(f.get("extra", []))
+        extra.add(int(epoch_id))
+        mx = f.get("max_epoch", -1)
+        while mx + 1 in extra:
+            mx += 1
+            extra.discard(mx)
+        return {**fences, pipeline_id: {"max_epoch": mx, "extra": sorted(extra)}}
+
+    # --------------------------------------------------------------- reads
+
+    def _read_files(self, rec: dict, files: list[dict]) -> DataFrame | None:
+        """Read a set of data files, aligning every schema version to the
+        current one by stable field id (Iceberg-style column projection)."""
+        if not files:
+            return None
+        cur_fields = self.schema_fields(rec)
+        by_sv: dict[int, list[str]] = {}
+        for f in files:
+            by_sv.setdefault(f["schema_version"], []).append(
+                os.path.join(self.table_dir, f["path"])
+            )
+        parts: list[DataFrame] = []
+        for sv, paths in by_sv.items():
+            old_fields = self.schema_fields(rec, schema_version=sv)
+            phys = _fields_to_struct(old_fields, with_sys=True)
+            df = self.spark.read.schema(phys).parquet(*paths)
+            old_by_id = {f.id: f for f in old_fields}
+            select = []
+            for cf in cur_fields:
+                of = old_by_id.get(cf.id)
+                if of is None:
+                    select.append(F.lit(None).cast(cf.type).alias(cf.name))
+                else:
+                    select.append(F.col(of.name).cast(cf.type).alias(cf.name))
+            select += [F.col("_seq"), F.col("_op")]
+            parts.append(df.select(*select))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read_internal(self) -> DataFrame:
+        """All rows incl. tombstones and system columns."""
+        rec = self._current()
+        df = self._read_files(rec, rec["files"])
+        if df is None:
+            return self.spark.createDataFrame([], _fields_to_struct(self.schema_fields(rec)))
+        return df
+
+    def read(self) -> DataFrame:
+        """Public snapshot read: live rows, user columns only."""
+        rec = self._current()
+        df = self._read_files(rec, rec["files"])
+        names = [f.name for f in self.schema_fields(rec)]
+        if df is None:
+            return self.spark.createDataFrame([], _fields_to_struct(self.schema_fields(rec), with_sys=False))
+        return df.where(F.col("_op") != "D").select(*names)
+
+    # -------------------------------------------------------------- writes
+
+    def _write_bucket_data(
+        self, df: DataFrame, version: int, schema_version: int, files_per_bucket: int = 1
+    ) -> list[dict]:
+        """Write df (which carries `bkt`) under data/c{version}/ and
+        return file metadata. `files_per_bucket` > 1 splits each bucket by
+        a path-salt so one hot bucket still writes in parallel (C4)."""
+        rel = f"data/c{version:08d}"
+        out_dir = os.path.join(self.table_dir, rel)
+        # A directory for an uncommitted version is debris from a crashed
+        # writer (versions only advance on log commit) — safe to clear.
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        if files_per_bucket > 1:
+            salt = F.pmod(F.xxhash64(F.col("path")), F.lit(files_per_bucket))
+            df = df.repartition(F.col("bkt"), salt)
+        else:
+            df = df.repartition("bkt")
+        (
+            df.sortWithinPartitions("repo", "path")
+            .write.mode("errorifexists")
+            .partitionBy("bkt")
+            .parquet(out_dir)
+        )
+        files = []
+        for bdir in sorted(os.listdir(out_dir)):
+            if not bdir.startswith("bkt="):
+                continue
+            b = int(bdir.split("=", 1)[1])
+            for fn in sorted(os.listdir(os.path.join(out_dir, bdir))):
+                if fn.endswith(".parquet"):
+                    files.append(
+                        {"path": f"{rel}/{bdir}/{fn}", "bucket": b, "schema_version": schema_version}
+                    )
+        return files
+
+    def overwrite_snapshot(self, df: DataFrame, fence: tuple[str, int] | None = None) -> None:
+        """Initial load / full replace (S3). `df` has user columns (+
+        optionally _seq/_op)."""
+        rec = self._current()
+        if "_seq" not in df.columns:
+            df = df.withColumn("_seq", F.lit(-1).cast("long"))
+        if "_op" not in df.columns:
+            df = df.withColumn("_op", F.lit("I"))
+        df = df.withColumn("bkt", bucket_expr(rec["n_buckets"]))
+        version = rec["version"] + 1
+        files = self._write_bucket_data(df, version, rec["schema_version"])
+        fences = rec["fences"]
+        if fence:
+            fences = self._advance_fence(fences, fence[0], fence[1])
+        commitlog.write_commit(
+            self.table_dir,
+            {**rec, "version": version, "files": files, "fences": fences},
+        )
+
+    def merge_upsert(
+        self,
+        batch: DataFrame,
+        fence: tuple[str, int] | None = None,
+        files_per_bucket: int = 1,
+        info: dict | None = None,
+    ) -> dict:
+        """MERGE INTO equivalent, conditional on event order:
+
+        ``MERGE INTO t USING s ON t.repo=s.repo AND t.path=s.path
+        WHEN MATCHED AND s._seq > t._seq THEN UPDATE SET *  (op D ⇒ tombstone)
+        WHEN NOT MATCHED THEN INSERT *``
+
+        `batch` must be pre-compacted (one row per key — operators.cdc) and
+        carry current user columns + `_seq` + `_op`. Only buckets touched by
+        the batch are rewritten. Returns merge stats for lineage.
+        """
+        rec = self._current()
+        n_buckets = rec["n_buckets"]
+        batch = batch.withColumn("bkt", bucket_expr(n_buckets))
+
+        affected = [r[0] for r in batch.select("bkt").distinct().collect()]
+        target_files = [f for f in rec["files"] if f["bucket"] in set(affected)]
+        keep_files = [f for f in rec["files"] if f["bucket"] not in set(affected)]
+
+        cur_names = [f.name for f in self.schema_fields(rec)]
+        batch = batch.select(*cur_names, "_seq", "_op", "bkt")
+        target = self._read_files(rec, target_files)
+
+        if target is None:
+            merged = batch
+        else:
+            target = target.withColumn("bkt", bucket_expr(n_buckets))
+            # target wins ties on _seq (idempotent re-application): priority 1.
+            t = target.withColumn("_prio", F.lit(1))
+            s = batch.withColumn("_prio", F.lit(0))
+            unioned = t.unionByName(s)
+            payload = F.struct(*[F.col(c) for c in unioned.columns])
+            merged = (
+                unioned.groupBy("repo", "path")
+                .agg(F.max_by(payload, F.struct(F.col("_seq"), F.col("_prio"))).alias("r"))
+                .select("r.*")
+                .drop("_prio")
+            )
+
+        version = rec["version"] + 1
+        new_files = self._write_bucket_data(
+            merged, version, rec["schema_version"], files_per_bucket=files_per_bucket
+        )
+        fences = rec["fences"]
+        if fence:
+            fences = self._advance_fence(fences, fence[0], fence[1])
+        stats = {
+            "version": version,
+            "buckets_rewritten": len(affected),
+            "files_written": len(new_files),
+        }
+        record = {**rec, "version": version, "files": keep_files + new_files, "fences": fences}
+        if info is not None:
+            record["epoch_info"] = {**info, **stats}
+        else:
+            record.pop("epoch_info", None)
+        commitlog.write_commit(self.table_dir, record)
+        return stats
+
+    # ----------------------------------------------------- schema evolution
+
+    def _commit_schema(self, rec: dict, new_fields: list[LakeField], next_field_id: int) -> None:
+        sv = rec["schema_version"] + 1
+        commitlog.write_commit(
+            self.table_dir,
+            {
+                **rec,
+                "version": rec["version"] + 1,
+                "schema_version": sv,
+                "schemas": {**rec["schemas"], str(sv): [f.to_json() for f in new_fields]},
+                "next_field_id": next_field_id,
+            },
+        )
+
+    def add_column(self, name: str, type_ddl: str) -> None:
+        rec = self._current()
+        fields = self.schema_fields(rec)
+        if any(f.name == name for f in fields):
+            raise ValueError(f"column {name} exists")
+        nid = rec["next_field_id"]
+        self._commit_schema(rec, fields + [LakeField(nid, name, type_ddl)], nid + 1)
+
+    def rename_column(self, old: str, new: str) -> None:
+        rec = self._current()
+        fields = [
+            LakeField(f.id, new if f.name == old else f.name, f.type, f.nullable)
+            for f in self.schema_fields(rec)
+        ]
+        if not any(f.name == new for f in fields):
+            raise ValueError(f"column {old} not found")
+        self._commit_schema(rec, fields, rec["next_field_id"])
+
+    def widen_column(self, name: str, new_type: str) -> None:
+        rec = self._current()
+        fields = self.schema_fields(rec)
+        out = []
+        for f in fields:
+            if f.name == name:
+                if f.type != new_type and (f.type, new_type) not in WIDENINGS:
+                    raise ValueError(f"illegal type change {f.type} → {new_type}")
+                f = LakeField(f.id, f.name, new_type, f.nullable)
+            out.append(f)
+        self._commit_schema(rec, out, rec["next_field_id"])
+
+    def evolve_for_batch(self, batch_schema: T.StructType, rename_map: dict[str, str] | None = None) -> None:
+        """Auto-evolve to accept an incoming batch (C7): declared renames
+        first, then adds, then widenings — the schema-registry diff of
+        SURVEY.md §2.2 C7."""
+        rename_map = rename_map or {}
+        cur = {f.name: f for f in self.schema_fields()}
+        for old, new in rename_map.items():
+            if old in cur and any(bf.name == new for bf in batch_schema.fields):
+                self.rename_column(old, new)
+                cur = {f.name: f for f in self.schema_fields()}
+        for bf in batch_schema.fields:
+            if bf.name in ("seq", "ts", "op", "part", "epoch"):
+                continue
+            ddl = bf.dataType.simpleString()
+            if bf.name not in cur:
+                self.add_column(bf.name, ddl)
+            elif cur[bf.name].type != ddl and (cur[bf.name].type, ddl) in WIDENINGS:
+                self.widen_column(bf.name, ddl)
+
+    # ---------------------------------------------------------- maintenance
+
+    def compact(self, files_per_bucket: int = 1) -> None:
+        """rewrite_data_files analogue: coalesce each bucket's files."""
+        rec = self._current()
+        df = self._read_files(rec, rec["files"])
+        if df is None:
+            return
+        df = df.withColumn("bkt", bucket_expr(rec["n_buckets"]))
+        version = rec["version"] + 1
+        files = self._write_bucket_data(df, version, rec["schema_version"], files_per_bucket)
+        commitlog.write_commit(self.table_dir, {**rec, "version": version, "files": files})
+
+    def vacuum(self) -> int:
+        """Delete data directories not referenced by the current snapshot."""
+        rec = self._current()
+        live_dirs = {f["path"].split("/")[1] for f in rec["files"]}
+        data_root = os.path.join(self.table_dir, "data")
+        removed = 0
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                if d not in live_dirs:
+                    shutil.rmtree(os.path.join(data_root, d))
+                    removed += 1
+        return removed

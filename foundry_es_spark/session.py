@@ -1,0 +1,58 @@
+"""SparkSession construction with the engine's scale-oriented defaults.
+
+Local mode is a single JVM; on a real cluster the same config block is what
+``spark-submit --py-files`` would carry (BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the sandbox (32 cores / 125 GB); on a 1000-executor
+# cluster the shuffle-partition count scales with total cores and
+# AQE coalescing trims the rest at runtime.
+DEFAULT_MASTER = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "foundry-es-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    - AQE on: runtime shuffle coalescing + skew-join splitting are the
+      backstop behind the engine's explicit salting (SURVEY.md §4.3).
+    - Arrow on, capped batch size: `content` rows are multi-KB, so the
+      default 10k-row Arrow batches would balloon (SURVEY.md §3.3).
+    - UTC session TZ: required for DuckDB-oracle comparisons.
+    """
+    master = master or DEFAULT_MASTER
+    if shuffle_partitions is None:
+        n = master.split("[")[-1].rstrip("]")
+        cores = os.cpu_count() or 8 if n in ("*", "") else int(n)
+        shuffle_partitions = max(8, cores)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

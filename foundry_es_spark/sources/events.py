@@ -1,0 +1,85 @@
+"""Event-log sources (S1 stream / S2 bounded replay).
+
+The local source is the partitioned Parquet event log; on a real cluster
+S1 is Kafka (`spark.readStream.format("kafka")` + `from_json(value)`) —
+the jar is absent in this sandbox (BASELINE.md environment), so the Kafka
+path is provided but import-gated; everything downstream of the source is
+source-agnostic (the epoch body takes a plain DataFrame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from foundry_es_spark.schema import EVENT_SCHEMA, event_schema_with
+
+
+def read_events_batch(
+    spark: SparkSession, events_dir: str, extra: T.StructType | None = None
+) -> DataFrame:
+    """S2: the whole log as a bounded DataFrame (partition columns epoch/part
+    discovered from the directory layout; explicit schema, no inference)."""
+    return spark.read.option("basePath", events_dir).parquet(events_dir)
+
+
+def read_events_seq_range(
+    spark: SparkSession, events_dir: str, lo: int, hi: int, epoch_size: int | None = None
+) -> DataFrame:
+    """S2 bounded slice [lo, hi). When the log layout's epoch size is known,
+    the predicate on the `epoch` partition column prunes whole directories
+    before any file is opened (partition pruning — check PushedFilters)."""
+    df = read_events_batch(spark, events_dir)
+    if epoch_size:
+        df = df.where(
+            (F.col("epoch") >= lo // epoch_size) & (F.col("epoch") <= (hi - 1) // epoch_size)
+        )
+    return df.where((F.col("seq") >= lo) & (F.col("seq") < hi))
+
+
+def read_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int = 64,
+    extra: T.StructType | None = None,
+) -> DataFrame:
+    """S1: micro-batch file stream over the event log."""
+    fields = list(event_schema_with(extra).fields) + [
+        T.StructField("epoch", T.LongType(), True),
+        T.StructField("part", T.LongType(), True),
+    ]
+    return (
+        spark.readStream.schema(T.StructType(fields))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("basePath", events_dir)
+        .parquet(events_dir)
+    )
+
+
+def read_events_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S1 cluster path: Kafka → JSON-decoded event envelope. Requires the
+    spark-sql-kafka jar on the classpath (absent locally — BASELINE.md);
+    the call raises a clear error instead of failing deep inside Spark."""
+    try:
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+        )
+        raw = reader.load()
+    except Exception as exc:  # pragma: no cover - jar absent in sandbox
+        raise RuntimeError(
+            "Kafka source requires spark-sql-kafka-0-10 on the classpath"
+        ) from exc
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), EVENT_SCHEMA).alias("e"),
+        F.col("partition").cast("long").alias("part"),
+    )
+    return parsed.select("e.*", "part")

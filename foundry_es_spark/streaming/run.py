@@ -1,0 +1,67 @@
+"""Streaming replay: file-source `readStream` → `foreachBatch(epoch body)`.
+
+The reference's ActiveMQ consumer loop [F-ES: consumers — UNVERIFIED,
+SURVEY.md §0] becomes a Structured Streaming micro-batch query:
+
+- source: the partitioned event-log directory as a file stream (locally;
+  on a cluster the same pipeline body hangs off `format("kafka")` — see
+  `foundry_es_spark.sources`), `maxFilesPerTrigger` bounding epoch size;
+- body: `CdcPipeline.apply_epoch(batch_df, batch_id)` — identical code to
+  batch replay, so streaming == batch equivalence is a testable property;
+- exactly-once: Structured Streaming's checkpoint gives deterministic
+  batch replay on restart, and the sink-side epoch fence (committed
+  atomically with the data) makes re-delivery of a batch a no-op. Either
+  mechanism alone survives a crash; together they cover crash points on
+  both sides of the sink commit (SURVEY.md §2.2 C5/C6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from foundry_es_spark.plans import CdcPipeline
+from foundry_es_spark.schema import EVENT_SCHEMA
+
+
+def _stream_schema(extra: T.StructType | None) -> T.StructType:
+    fields = list(EVENT_SCHEMA.fields)
+    if extra is not None:
+        fields += list(extra.fields)
+    # partition-directory columns of the event-log layout
+    fields += [
+        T.StructField("epoch", T.LongType(), True),
+        T.StructField("part", T.LongType(), True),
+    ]
+    return T.StructType(fields)
+
+
+def run_stream(
+    spark: SparkSession,
+    pipeline: CdcPipeline,
+    events_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 64,
+    extra_payload: T.StructType | None = None,
+    await_termination: bool = False,
+):
+    """Start (or resume from `checkpoint_dir`) the streaming replay query."""
+    stream = (
+        spark.readStream.schema(_stream_schema(extra_payload))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("basePath", events_dir)
+        .parquet(events_dir)
+    )
+
+    def _body(batch_df, batch_id: int):
+        pipeline.apply_epoch(batch_df, int(batch_id))
+
+    query = (
+        stream.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

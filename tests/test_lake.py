@@ -1,0 +1,113 @@
+"""LocalLakeBackend unit tests: create/merge/tombstone/fence/evolution."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from foundry_es_spark.lake import LakeTable
+
+FIELDS = [
+    ("repo", "string"),
+    ("path", "string"),
+    ("commit", "string"),
+    ("lang", "string"),
+    ("content", "string"),
+]
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string, "
+        "_seq long, _op string",
+    )
+
+
+def test_create_and_empty_read(spark, tmp_table):
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=4)
+    assert t.read().count() == 0
+    assert [f.name for f in t.spark_schema().fields] == [f[0] for f in FIELDS]
+
+
+def test_merge_insert_update_delete(spark, tmp_table):
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=4)
+    t.merge_upsert(_batch(spark, [("r1", "a", "c0", "py", "v0", 0, "I"),
+                                  ("r2", "b", "c0", "py", "x0", 1, "I")]))
+    t.merge_upsert(_batch(spark, [("r1", "a", "c1", "py", "v1", 2, "U"),
+                                  ("r2", "b", None, None, None, 3, "D")]))
+    rows = {(r.repo, r.path): r for r in t.read().collect()}
+    assert set(rows) == {("r1", "a")}
+    assert rows[("r1", "a")].content == "v1"
+    # tombstone retained internally
+    assert t.read_internal().where(F.col("_op") == "D").count() == 1
+
+
+def test_merge_is_seq_conditional(spark, tmp_table):
+    """Stale events (lower seq) must not overwrite newer state; equal seq
+    re-delivery is a no-op (target wins ties)."""
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=4)
+    t.merge_upsert(_batch(spark, [("r1", "a", "c5", "py", "v5", 5, "U")]))
+    t.merge_upsert(_batch(spark, [("r1", "a", "c3", "py", "v3", 3, "U")]))  # stale
+    t.merge_upsert(_batch(spark, [("r1", "a", "cX", "py", "vX", 5, "U")]))  # dup seq
+    row = t.read().collect()[0]
+    assert row.content == "v5" and row.commit == "c5"
+
+
+def test_epoch_fence(spark, tmp_table):
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=4)
+    t.merge_upsert(_batch(spark, [("r1", "a", "c0", "py", "v0", 0, "I")]), fence=("p1", 0))
+    assert t.is_epoch_committed("p1", 0)
+    assert not t.is_epoch_committed("p1", 1)
+    assert t.last_epoch("p1") == 0
+    # out-of-order epochs collapse once the gap closes
+    t.merge_upsert(_batch(spark, [("r1", "a", "c2", "py", "v2", 2, "U")]), fence=("p1", 2))
+    assert t.last_epoch("p1") == 0 and t.is_epoch_committed("p1", 2)
+    t.merge_upsert(_batch(spark, [("r1", "a", "c1", "py", "v1", 1, "U")]), fence=("p1", 1))
+    assert t.last_epoch("p1") == 2
+
+
+def test_schema_evolution_add_rename_widen(spark, tmp_table):
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=4)
+    t.merge_upsert(_batch(spark, [("r1", "a", "c0", "py", "v0", 0, "I")]))
+    t.add_column("meta_license", "string")
+    t.add_column("n_stars", "int")
+    # old files project nulls for the new columns
+    row = t.read().collect()[0]
+    assert row.meta_license is None and row.n_stars is None
+    # write under the new schema
+    b = spark.createDataFrame(
+        [("r2", "b", "c0", "py", "x0", "mit", 10, 1, "I")],
+        "repo string, path string, commit string, lang string, content string, "
+        "meta_license string, n_stars int, _seq long, _op string",
+    )
+    t.merge_upsert(b)
+    t.rename_column("meta_license", "license")
+    t.widen_column("n_stars", "bigint")
+    rows = {r.repo: r for r in t.read().collect()}
+    assert rows["r2"].license == "mit" and rows["r2"].n_stars == 10
+    assert rows["r1"].license is None
+    assert dict(t.read().dtypes)["n_stars"] == "bigint"
+    with pytest.raises(ValueError):
+        t.widen_column("n_stars", "int")  # narrowing is illegal
+
+
+def test_merge_rewrites_only_affected_buckets(spark, tmp_table):
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=8)
+    big = _batch(
+        spark,
+        [(f"r{i}", "a", "c0", "py", f"v{i}", i, "I") for i in range(64)],
+    )
+    t.merge_upsert(big)
+    stats = t.merge_upsert(_batch(spark, [("r1", "a", "c1", "py", "w", 100, "U")]))
+    assert stats["buckets_rewritten"] == 1
+    assert t.read().count() == 64
+
+
+def test_compact_and_vacuum(spark, tmp_table):
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=4)
+    for i in range(3):
+        t.merge_upsert(_batch(spark, [(f"r{i}", "a", "c0", "py", f"v{i}", i, "I")]))
+    before = t.read().count()
+    t.compact()
+    removed = t.vacuum()
+    assert t.read().count() == before
+    assert removed >= 1

@@ -1,0 +1,99 @@
+"""M1 end-to-end: batch replay of a tiny event log == pandas fold oracle.
+
+The oracle is an independent single-node fold (foundry_es_spark.oracle);
+the engine must reproduce it per-row on `sha2(content,256)` — the
+BASELINE.json correctness invariant.
+"""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from foundry_es_spark.fixtures import gen_change_events, write_event_log
+from foundry_es_spark.oracle import fold_events, table_digest
+from foundry_es_spark.plans import CdcPipeline, PipelineConfig
+
+
+def _replay(spark, tmp_path, n_events=5000, n_keys=400, **cfg_kw):
+    events = gen_change_events(spark, n_events=n_events, n_keys=n_keys, lines_mod=30)
+    ev_dir = str(tmp_path / "events")
+    write_event_log(events, ev_dir, epoch_size=1000)
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(
+            pipeline_id="t", table_dir=str(tmp_path / "table"), n_buckets=8, **cfg_kw
+        ),
+    )
+    results = pipe.replay_event_dir(ev_dir)
+    return pipe, events, results
+
+
+def _check_against_oracle(pipe, events):
+    expected = fold_events(events.toPandas())
+    got = (
+        pipe.table.read()
+        .select("repo", "path", "commit", "lang", "content_sha256")
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    exp = expected[["repo", "path", "commit", "lang", "content_sha256"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    return expected
+
+
+def test_replay_matches_oracle(spark, tmp_path):
+    pipe, events, results = _replay(spark, tmp_path)
+    expected = _check_against_oracle(pipe, events)
+    assert all(not r["skipped"] for r in results)
+    # engine-side digest equals oracle digest (golden rollup, SURVEY.md §5.2)
+    got_pd = (
+        pipe.table.read()
+        .select("repo", "path", "commit", "lang", "content_sha256")
+        .toPandas()
+    )
+    assert table_digest(got_pd) == table_digest(expected)
+
+
+def test_replay_with_salting_identical(spark, tmp_path):
+    """C4 two-phase salted compaction must not change results."""
+    pipe, events, _ = _replay(spark, tmp_path, salt_partitions=4)
+    _check_against_oracle(pipe, events)
+
+
+def test_normalized_columns_populated(spark, tmp_path):
+    pipe, events, _ = _replay(spark, tmp_path, n_events=1000, n_keys=100)
+    row = pipe.table.read().where(F.col("content").isNotNull()).first()
+    assert row.n_lines == row.content.count("\n") + 1
+    assert row.n_chars == len(row.content)
+    assert row.meta.title == row.content.split("\n", 1)[0].strip()[:120]
+    assert row.meta.n_words > 0
+
+
+def test_lineage_and_offsets(spark, tmp_path):
+    pipe, events, results = _replay(spark, tmp_path, n_events=3000, n_keys=200)
+    lin = pipe.lineage().toPandas()
+    assert len(lin) == len(results)
+    assert (lin["n_keys"] > 0).all()
+    offs = pipe.offsets().toPandas()
+    # per-partition max_seq is monotone across epochs
+    for _, grp in offs.groupby("part"):
+        ms = grp.sort_values("epoch")["max_seq"].tolist()
+        assert ms == sorted(ms)
+
+
+def test_dead_letters_quarantined(spark, tmp_path):
+    """Malformed events go to the _sys/errors table, never break the epoch."""
+    events = gen_change_events(spark, n_events=1000, n_keys=100, lines_mod=20)
+    bad = spark.createDataFrame(
+        [(99999, None, "U", None, "p", None, None, None, 0)],
+        "seq long, ts timestamp, op string, repo string, path string, "
+        "commit string, lang string, content string, part long",
+    )
+    ev_dir = str(tmp_path / "events")
+    write_event_log(events.unionByName(bad), ev_dir, epoch_size=100000)
+    pipe = CdcPipeline(
+        spark, PipelineConfig(pipeline_id="t", table_dir=str(tmp_path / "table"))
+    )
+    pipe.replay_event_dir(ev_dir)
+    assert pipe.dead_letters().count() == 1
+    _check_against_oracle(pipe, events)
