@@ -1,0 +1,160 @@
+"""M4: schema evolution end-to-end (FIXTURES.md F3): add → rename → widen
+mid-stream, with resume across the boundary and old+new file reads."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from foundry_es_spark.fixtures import gen_evolved_events, write_event_log
+from foundry_es_spark.oracle import fold_events_multi
+from foundry_es_spark.plans import CdcPipeline, PipelineConfig
+
+
+def _write_phases(spark, tmp_path, n_events=3000):
+    # key space ≫ events/phase so plenty of keys are touched in exactly one
+    # phase — that's what exercises old-file → new-schema projection
+    a, b, c = gen_evolved_events(
+        spark, n_events=n_events, n_keys=1500, lines_mod=20
+    )
+    dirs = []
+    for name, df in [("a", a), ("b", b), ("c", c)]:
+        d = str(tmp_path / f"events_{name}")
+        write_event_log(df, d, epoch_size=400)
+        dirs.append(d)
+    return (a, b, c), dirs
+
+
+def test_evolution_add_rename_widen_full_replay(spark, tmp_path):
+    (a, b, c), dirs = _write_phases(spark, tmp_path)
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(
+            pipeline_id="evo",
+            table_dir=str(tmp_path / "table"),
+            rename_map={"meta_license": "license"},
+        ),
+    )
+    # replay the three phases as one continuous stream of epochs
+    next_epoch = 0
+    for d in dirs:
+        import os
+
+        for e in sorted(
+            int(x.split("=")[1]) for x in os.listdir(d) if x.startswith("epoch=")
+        ):
+            batch = spark.read.parquet(os.path.join(d, f"epoch={e}"))
+            pipe.apply_epoch(batch, next_epoch)
+            next_epoch += 1
+
+    table = pipe.table
+    dtypes = dict(table.read().dtypes)
+    # final schema: license:string present, n_stars widened to bigint,
+    # meta_license gone (renamed, same field id)
+    assert dtypes["license"] == "string"
+    assert dtypes["n_stars"] == "bigint"
+    assert "meta_license" not in dtypes
+
+    expected = fold_events_multi(
+        [a.toPandas(), b.toPandas(), c.toPandas()], extra_cols=["license", "n_stars"]
+    )
+    got = (
+        table.read()
+        .select("repo", "path", "commit", "content_sha256", "license", "n_stars")
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    exp = expected[["repo", "path", "commit", "content_sha256", "license", "n_stars"]].reset_index(
+        drop=True
+    )
+    got["n_stars"] = got["n_stars"].astype("Int64")
+    pd.testing.assert_frame_equal(got, exp)
+
+    # phase-C rows really carry the >2^31 widened values
+    assert got["n_stars"].dropna().max() > 2**31
+
+    # rows last touched in phase A read back with NULL evolved columns
+    # through the field-id projection (old files, new schema)
+    phase_a_keys = got[got["license"].isna()]
+    assert len(phase_a_keys) > 0
+
+
+def test_evolution_interacts_with_resume(spark, tmp_path):
+    """Crash between phases (checkpoint written under the OLD schema),
+    resume under the NEW one — SURVEY.md §7 hard part (2)."""
+    (a, b, c), dirs = _write_phases(spark, tmp_path, n_events=1800)
+    cfg = PipelineConfig(
+        pipeline_id="evo",
+        table_dir=str(tmp_path / "table"),
+        rename_map={"meta_license": "license"},
+    )
+    import os
+
+    def epochs_of(d):
+        return [
+            (os.path.join(d, f"epoch={e}"), e)
+            for e in sorted(
+                int(x.split("=")[1]) for x in os.listdir(d) if x.startswith("epoch=")
+            )
+        ]
+
+    all_batches = [p for d in dirs for p, _ in epochs_of(d)]
+    pipe = CdcPipeline(spark, cfg)
+    for i, p in enumerate(all_batches[: len(all_batches) // 2]):
+        pipe.apply_epoch(spark.read.parquet(p), i)
+    # "crash"; new process resumes from the fence cursor
+    pipe2 = CdcPipeline(spark, cfg)
+    start = pipe2.table.last_epoch("evo") + 1
+    for i, p in enumerate(all_batches):
+        if i < start:
+            continue
+        pipe2.apply_epoch(spark.read.parquet(p), i)
+
+    expected = fold_events_multi(
+        [a.toPandas(), b.toPandas(), c.toPandas()], extra_cols=["license", "n_stars"]
+    )
+    got = (
+        pipe2.table.read()
+        .select("repo", "path", "content_sha256", "license")
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    exp = expected[["repo", "path", "content_sha256", "license"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_skew_replay_with_salting(spark, tmp_path):
+    """Skew knob: one repo holds 90% of events; salted compaction + multi-
+    file hot buckets still produce oracle-exact state (C4)."""
+    from foundry_es_spark.fixtures import gen_change_events
+    from foundry_es_spark.oracle import fold_events
+
+    events = gen_change_events(
+        spark, n_events=4000, n_keys=300, lines_mod=15, hot_frac=0.9
+    )
+    ev_dir = str(tmp_path / "events")
+    write_event_log(events, ev_dir, epoch_size=1000)
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(
+            pipeline_id="skew",
+            table_dir=str(tmp_path / "table"),
+            salt_partitions=8,
+            files_per_bucket=4,
+        ),
+    )
+    pipe.replay_event_dir(ev_dir)
+    expected = fold_events(events.toPandas())
+    got = (
+        pipe.table.read()
+        .select("repo", "path", "commit", "lang", "content_sha256")
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, expected[["repo", "path", "commit", "lang", "content_sha256"]].reset_index(drop=True)
+    )
+    # hot repo really dominates
+    hot = events.groupBy("repo").count().orderBy(F.desc("count")).first()
+    assert hot["count"] > 0.8 * 4000
