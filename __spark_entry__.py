@@ -3,36 +3,126 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+- ``entry``: the flagship — a full CDC replay (SURVEY.md §2.2) of a
+  change stream synthesized from sf0.001 ``documents`` through the
+  engine (compaction → vectorized normalization → epoch-fenced
+  MERGE-equivalent upsert), returning the verified final table state.
+- ``queries``/``oracle_sql``: the Layer-B surface (SURVEY.md §2.4
+  Q1–Q25) plus the training-data operators (dedup / similarity /
+  text analysis / multimodal), from ``foundry_es_spark.queries``.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_ENTRY = "/root/testdata/sf0.001"
+WORK_DIR = "/tmp/foundry_es_entry"
+
+
+def _doc_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic change stream over the documents table: every doc is
+    Inserted, then Updated with a revised body; every 10th doc is Deleted.
+    Base-row shape per BASELINE.json input_hint (repo,path,commit,lang,
+    content)."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = d.select(
+        F.concat(F.lit("corpus/"), F.col("source")).alias("repo"),
+        F.concat(F.lit("docs/doc_"), F.col("doc_id"), F.lit(".txt")).alias("path"),
+        F.col("lang"),
+        F.col("text"),
+        F.col("doc_id"),
+    )
+
+    def ev(op, seq_off, content_expr):
+        return base.select(
+            (F.col("doc_id") * 3 + seq_off).alias("seq"),
+            F.timestamp_millis(F.lit(1767225600000) + (F.col("doc_id") * 3 + seq_off) * 10).alias("ts"),
+            F.lit(op).alias("op"),
+            "repo",
+            "path",
+            F.when(F.lit(op) != "D", F.sha1(F.concat_ws("|", "repo", "path", F.lit(str(seq_off))))).alias("commit"),
+            F.when(F.lit(op) != "D", F.col("lang")).alias("lang"),
+            content_expr.alias("content"),
+        )
+
+    from pyspark.sql import functions as F2
+
+    inserts = ev("I", 0, F2.col("text"))
+    updates = ev("U", 1, F2.concat(F2.col("text"), F2.lit("\nrevision 2")))
+    deletes = ev("D", 2, F2.lit(None).cast("string")).where(F2.pmod(F2.col("doc_id"), F2.lit(10)) == 0)
+    return inserts.unionByName(updates).unionByName(deletes)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: replay the synthesized document change stream through the
+    CDC engine and return the verified final state (one row per surviving
+    key with its content digest and normalized columns)."""
+    from pyspark.sql import functions as F
+
+    from foundry_es_spark.fixtures import write_event_log
+    from foundry_es_spark.plans import CdcPipeline, PipelineConfig
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    shutil.rmtree(WORK_DIR, ignore_errors=True)
+    events_dir = os.path.join(WORK_DIR, "events")
+    events = _doc_change_events(spark, SF_ENTRY).withColumn(
+        "part", F.pmod(F.xxhash64("repo"), F.lit(4))
+    )
+    write_event_log(events, events_dir, epoch_size=800)
+
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(
+            pipeline_id="entry",
+            table_dir=os.path.join(WORK_DIR, "table"),
+            n_buckets=8,
+        ),
+    )
+    pipe.replay_event_dir(events_dir)
+    return (
+        pipe.table.read()
+        .select(
+            "repo",
+            "path",
+            "lang",
+            "content_sha256",
+            "n_lines",
+            "n_chars",
+            F.col("meta.n_words").alias("n_words"),
+        )
+        .orderBy("repo", "path")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    Every computed column is aliased identically to ``oracle_sql``.
     """
-    return {}
+    from foundry_es_spark.queries import all_queries
+
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB ANSI twins for every SQL-expressible query; hash-specific /
+    probabilistic / streaming-only operators are intentionally absent
+    (rows-only check): q8b_approx_distinct, dedup_minhash_lsh,
+    dedup_simhash(_pairs), ann_lsh_bucketed, ann_ivf_probe, text_lang_id,
+    text_lang_confusion, multimodal_frame_sample."""
+    from foundry_es_spark.queries import all_oracles
+
+    return all_oracles()

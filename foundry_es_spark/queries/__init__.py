@@ -1,0 +1,36 @@
+"""Layer-B query surface (SURVEY.md §2.4 Q1–Q25) plus the training-data
+pipeline operators (dedup / similarity / text analysis / multimodal).
+
+Each query is a callable ``(spark, sf_dir) -> DataFrame`` with, where
+ANSI-SQL-expressible, a DuckDB oracle twin keyed by the same name.
+Computed columns are aliased identically on both sides (driver contract:
+columns are sorted by name before value-hashing).
+"""
+
+from __future__ import annotations
+
+from foundry_es_spark.queries import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    streaming_q,
+    textstats,
+    udf_q,
+)
+
+_MODULES = [relational, streaming_q, udf_q, dedup, similarity, textstats, multimodal]
+
+
+def all_queries():
+    out = {}
+    for m in _MODULES:
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles():
+    out = {}
+    for m in _MODULES:
+        out.update(m.ORACLES)
+    return out

@@ -1,0 +1,263 @@
+"""Deduplication operators over `documents` — the training-data-pipeline
+layer: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale notes (the point of each design):
+- exact dedup is a single hash-aggregate — one shuffle on a 64-char key,
+  map-side combine collapses duplicates early;
+- MinHash/LSH never compares all pairs: signatures are computed per-row
+  with JVM higher-order functions (no UDF), candidates come from an
+  equi-join on (band, band_hash) — at 100 TB this is the only shape that
+  works (all-pairs is O(n²));
+- SimHash is a per-row 64-bit signature via one aggregate over word
+  hashes; near-dup pairs = equal signatures (or banded prefixes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from foundry_es_spark.queries.common import table
+
+# ------------------------------------------------------------------ exact
+
+
+def dedup_exact(spark, sf):
+    d = table(spark, sf, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT sha256(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def dedup_exact_keep_first(spark, sf):
+    """The apply side: keep min-doc_id representative per distinct text."""
+    d = table(spark, sf, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("text_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+DEDUP_EXACT_KEEP_SQL = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+"""
+
+# ------------------------------------------------------- shingles helpers
+
+
+def _word_shingles(col, k: int = 3):
+    """k-word shingles as an array<string>, built JVM-side: split → slide.
+    Empty/short docs yield the whole-doc token join (1 shingle)."""
+    words = F.split(F.lower(col), r"\s+")
+    n = F.greatest(F.size(words) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+
+
+# ----------------------------------------------------------- minhash+LSH
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def _minhash_signature(shingles):
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(N_HASHES)
+        ]
+    )
+
+
+def dedup_minhash_lsh(spark, sf, jaccard_threshold: float = 0.5):
+    """Candidate pairs via LSH banding, verified with exact shingle Jaccard.
+
+    No SQL oracle (xxhash64 is Spark-specific) — rows-only check; exact
+    Jaccard verification is covered by `dedup_ngram_jaccard`'s oracle.
+    """
+    d = table(spark, sf, "documents")
+    rows_per_band = N_HASHES // N_BANDS
+    sig = d.select(
+        "doc_id",
+        _word_shingles(F.col("text")).alias("shingles"),
+    ).withColumn("sig", _minhash_signature(F.col("shingles")))
+    banded = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("bh"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "shingles", "bb.band", "bb.bh")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
+    union = F.size(F.array_union(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 4))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+# ---------------------------------------------------------------- simhash
+
+
+def dedup_simhash(spark, sf):
+    """64-bit SimHash per doc, built with one JVM-side aggregate: for each
+    bit b, sum ±1 over word hashes; bit set if the sum is positive.
+    Rows-only check (hash-function-specific)."""
+    d = table(spark, sf, "documents")
+    # SQL expressions because shiftleft/shiftright take Column bit-counts
+    # only in SQL form; still 100% JVM-side higher-order functions.
+    counts_expr = r"""
+      aggregate(
+        transform(array_distinct(split(lower(text), '\\s+')), w -> xxhash64(w)),
+        array_repeat(0L, 64),
+        (acc, h) -> zip_with(
+          acc,
+          transform(sequence(0, 63),
+                    b -> IF((shiftright(h, CAST(b AS INT)) & 1L) = 1L, 1L, -1L)),
+          (a, x) -> a + x))
+    """
+    simhash_expr = """
+      aggregate(
+        zip_with(counts, sequence(0, 63),
+                 (c, b) -> IF(c > 0, shiftleft(1L, CAST(b AS INT)), 0L)),
+        0L, (acc, x) -> acc | x)
+    """
+    return (
+        d.selectExpr("doc_id", f"({counts_expr}) AS counts")
+        .selectExpr("doc_id", f"({simhash_expr}) AS simhash")
+    )
+
+
+def dedup_simhash_pairs(spark, sf, max_hamming: int = 3):
+    """Near-dup pairs by SimHash: bucket by 16-bit prefix bands (any pair
+    within hamming distance ≤ 3 of 64 bits shares at least one of 4 bands),
+    then verify the exact hamming distance. Rows-only."""
+    sig = dedup_simhash(spark, sf)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bh")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("h_a"),
+            F.col("r.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.withColumn("hamming", hamming.cast("bigint")).where(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")
+
+# ----------------------------------------------------------- n-gram jaccard
+
+
+def dedup_ngram_jaccard(spark, sf):
+    """Exact 3-word-shingle Jaccard for adjacent doc_id pairs — the
+    SQL-checkable twin of the LSH path (deterministic candidate set keeps
+    the oracle O(n))."""
+    d = table(spark, sf, "documents")
+    sh = d.select(
+        "doc_id", F.array_distinct(_word_shingles(F.col("text"))).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.select((F.col("doc_id") - 1).alias("doc_id"), F.col("sh").alias("sh_b")).alias("b")
+    pairs = a.join(b, "doc_id")
+    inter = F.size(F.array_intersect(F.col("sh"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh"), F.col("sh_b")))
+    return pairs.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1).alias("doc_b"),
+        F.round(inter / union, 4).alias("jaccard"),
+    )
+
+
+# DuckDB twin: same shingling via list comprehension over string_split
+DEDUP_NGRAM_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(words) - 2, 1) + 1)]) AS s
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_exact_keep_first": dedup_exact_keep_first,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_exact_keep_first": DEDUP_EXACT_KEEP_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+}

@@ -1,0 +1,212 @@
+"""Similarity search over the `embeddings` table (array<float>, dim 64).
+
+- brute-force cosine top-k: the correctness baseline. Query set is tiny →
+  broadcast; dot products are JVM higher-order functions (zip_with +
+  aggregate), no Python in the loop.
+- LSH-bucketed ANN: random-hyperplane signatures (hash-derived, seedless
+  determinism), candidates restricted to same-bucket rows — the shape that
+  scales to 10^9 vectors (bucket join instead of cross product).
+- IVF-style variant: coarse centroids from a deterministic sample,
+  probe the nearest cell(s) only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from foundry_es_spark.queries.common import table
+
+DIM = 64
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def ann_bruteforce_topk(spark, sf, n_queries: int = 5, k: int = 5):
+    """Exact cosine top-k for the first `n_queries` vectors (excluding
+    self-matches). Broadcast the query side; single pass over the corpus."""
+    e = table(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    joined = e.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("q_id"))
+    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_emb"))
+    )
+    scored = joined.select(
+        "q_id", F.col("vec_id").alias("n_id"), F.round(cos, 4).alias("cosine")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cosine", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+ANN_BRUTEFORCE_SQL = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         round(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                list_transform(q.q_emb, x -> CAST(x AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * x)))), 4)
+           AS cosine
+  FROM embeddings e, q WHERE e.vec_id != q.q_id
+)
+SELECT q_id, n_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+  FROM scored) WHERE rnk <= 5
+"""
+
+
+def _hyperplane(h_idx: int):
+    """Deterministic pseudo-random hyperplane: component j of plane h is a
+    hash-derived value in [-0.5, 0.5) — seedless, reproducible anywhere."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda j: (
+            F.pmod(F.xxhash64(j.cast("string"), F.lit(f"plane{h_idx}")), F.lit(1000)) / 1000.0
+            - 0.5
+        ),
+    )
+
+
+N_PLANES = 8
+
+
+def ann_lsh_bucketed(spark, sf, n_queries: int = 5, k: int = 5):
+    """Random-hyperplane LSH: signature = sign bits against N_PLANES
+    hash-derived hyperplanes; candidates share the bucket. Recall < 1 by
+    construction → rows-only check (exactness is ann_bruteforce_topk's)."""
+    e = table(spark, sf, "embeddings")
+    sig_bits = [
+        F.when(_dot(F.col("embedding"), _hyperplane(h)) > 0, 1 << h).otherwise(0)
+        for h in range(N_PLANES)
+    ]
+    bucket = sig_bits[0]
+    for b in sig_bits[1:]:
+        bucket = bucket + b
+    sigs = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = sigs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = sigs.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_emb"))
+    )
+    scored = cand.select("q_id", F.col("vec_id").alias("n_id"), F.round(cos, 4).alias("cosine"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cosine", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+def ann_ivf_probe(spark, sf, n_queries: int = 5, k: int = 5, n_cells: int = 8):
+    """IVF-flat shape: coarse 'centroids' are a deterministic subset of the
+    corpus (vec_id % (N/n_cells) == 0 sample); every vector is assigned to
+    its nearest centroid; queries probe ONLY their own cell. Rows-only
+    (probabilistic recall)."""
+    e = table(spark, sf, "embeddings")
+    cents = (
+        e.where(F.pmod(F.col("vec_id"), F.lit(97)) == 0)
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    )
+    sim_to_cent = _dot(F.col("embedding"), F.col("c_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("c_emb"))
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "c_id", sim_to_cent.alias("c_sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("c_id"))),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn", "c_sim")
+    )
+    q = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("c_id").alias("q_cell"),
+    )
+    cand = assigned.join(
+        F.broadcast(q),
+        (F.col("c_id") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_emb"))
+    )
+    scored = cand.select("q_id", F.col("vec_id").alias("n_id"), F.round(cos, 4).alias("cosine"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cosine", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+def embedding_cosine_near_dup(spark, sf, threshold: float = 0.95):
+    """Near-duplicate pairs among adjacent vec_ids (deterministic O(n)
+    candidate set so the oracle is exact)."""
+    e = table(spark, sf, "embeddings")
+    a = e.alias("a")
+    b = e.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("emb_b")).alias("b")
+    pairs = a.join(b, "vec_id")
+    cos = _dot(F.col("embedding"), F.col("emb_b")) / (
+        _norm(F.col("embedding")) * _norm(F.col("emb_b"))
+    )
+    return pairs.select(
+        F.col("vec_id").alias("vec_a"),
+        (F.col("vec_id") + 1).alias("vec_b"),
+        F.round(cos, 4).alias("cosine"),
+    )
+
+
+EMB_NEAR_DUP_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                              list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x)))), 4)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+"""
+
+
+QUERIES = {
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_ivf_probe": ann_ivf_probe,
+    "embedding_cosine_near_dup": embedding_cosine_near_dup,
+}
+
+ORACLES = {
+    "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
+    "embedding_cosine_near_dup": EMB_NEAR_DUP_SQL,
+}

@@ -1,0 +1,246 @@
+"""Streaming query surface Q19–Q23 (SURVEY.md §2.4).
+
+Each callable runs a real Structured Streaming query over the testdata
+events (file source, availableNow trigger, memory sink) and returns the
+materialized result — so the driver's oracle check exercises genuine
+streaming execution, not a batch stand-in. Oracles are batch-equivalent
+ANSI SQL (valid because a bounded availableNow run drops nothing).
+Late-data drop semantics (which need multiple triggers to observe) are
+asserted in tests/test_streaming_semantics.py instead.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from foundry_es_spark.queries.common import table
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_stream_dir(sf: str) -> str:
+    """The file stream source needs a DIRECTORY; testdata ships one parquet
+    file per table (read-only). Expose it through a symlink dir in /tmp."""
+    import hashlib
+    import os
+
+    d = os.path.join(
+        "/tmp", "foundry_stream_src", hashlib.md5(sf.encode()).hexdigest()[:12], "events"
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "part-0.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf}/events.parquet"), link)
+    return d
+
+
+def _run_stream(spark: SparkSession, sf: str, build, n_files: int = 4) -> DataFrame:
+    """Drive a bounded streaming query to completion via a memory sink."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", max(1, n_files))
+        .parquet(_events_stream_dir(sf))
+    )
+    out = build(stream)
+    name = "q_" + uuid.uuid4().hex[:12]
+    q = (
+        out.writeStream.outputMode("complete" if out.isStreaming else "append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# -------------------------------------------------------------------- Q19
+
+def q19_stream_tumbling_agg(spark, sf):
+    def build(s):
+        return (
+            s.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+            .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
+        )
+
+    return _run_stream(spark, sf, build)
+
+
+Q19_SQL = """
+SELECT date_trunc('minute', ts) AS w_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM events GROUP BY 1, 2
+"""
+
+# -------------------------------------------------------------------- Q20
+
+def q20_stream_sliding_agg(spark, sf):
+    def build(s):
+        return (
+            s.groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("w_start"), "n")
+        )
+
+    return _run_stream(spark, sf, build)
+
+
+# each event belongs to exactly 5 sliding windows whose starts are the 5
+# minute-aligned points in (ts - 5min, ts]
+Q20_SQL = """
+SELECT date_trunc('minute', ts) - to_minutes(k) AS w_start, count(*) AS n
+FROM events, (SELECT unnest(range(5)) AS k)
+GROUP BY 1
+"""
+
+
+def q20b_session_windows(spark, sf):
+    """Session windows (10-min gap) per user — streaming session_window."""
+    def build(s):
+        return (
+            s.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("w.start").alias("sess_start"),
+                F.col("w.end").alias("sess_end"),
+                "user_id",
+                "n",
+            )
+        )
+
+    return _run_stream(spark, sf, build)
+
+
+# gaps-and-islands restatement; session end = last ts + gap (Spark semantics)
+Q20B_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 10 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), islands AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT min(ts) AS sess_start, max(ts) + INTERVAL 10 MINUTE AS sess_end,
+       user_id, count(*) AS n
+FROM islands GROUP BY user_id, sess_id
+"""
+
+# -------------------------------------------------------------------- Q21
+
+def q21_stream_watermarked_agg(spark, sf):
+    """Watermarked tumbling aggregation (10-min watermark). In a bounded
+    availableNow run nothing is late, so the batch oracle holds; the drop
+    path is exercised in the pytest semantics suite."""
+    def build(s):
+        return (
+            s.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 minute").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("w_start"), "n")
+        )
+
+    return _run_stream(spark, sf, build, n_files=1)
+
+
+Q21_SQL = """
+SELECT date_trunc('minute', ts) AS w_start, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+# -------------------------------------------------------------------- Q22
+
+def q22_stream_dedup(spark, sf):
+    """Stateful dedup under duplicate delivery: the same file list is read
+    twice (union in the batch source feeding the stream via two globs is
+    not possible — so duplicate within the stream by exploding ×2), then
+    dropDuplicates on event_id."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(_events_stream_dir(sf))
+    )
+    duplicated = stream.withColumn("dup", F.explode(F.array(F.lit(1), F.lit(2)))).drop("dup")
+    deduped = duplicated.dropDuplicates(["event_id"])
+    import uuid as _uuid
+
+    # append-mode sink: the stateful operator under test is the dedup
+    # itself (chaining a complete-mode agg after it is unsupported);
+    # the rollup over the deduped stream output is a plain batch agg.
+    name = "q_" + _uuid.uuid4().hex[:12]
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+Q22_SQL = """
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+# -------------------------------------------------------------------- Q23
+
+def q23_stream_static_join(spark, sf):
+    """Stream-static enrichment join: streaming events ⋈ static customer
+    dim (broadcast — the static side never shuffles the stream)."""
+    cust = table(spark, sf, "customer")
+
+    def build(s):
+        enriched = s.join(
+            F.broadcast(cust), s.user_id == cust.c_custkey, "inner"
+        )
+        return enriched.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+        )
+
+    return _run_stream(spark, sf, build)
+
+
+Q23_SQL = """
+SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+QUERIES = {
+    "q19_stream_tumbling_agg": q19_stream_tumbling_agg,
+    "q20_stream_sliding_agg": q20_stream_sliding_agg,
+    "q20b_session_windows": q20b_session_windows,
+    "q21_stream_watermarked_agg": q21_stream_watermarked_agg,
+    "q22_stream_dedup": q22_stream_dedup,
+    "q23_stream_static_join": q23_stream_static_join,
+}
+
+ORACLES = {
+    "q19_stream_tumbling_agg": Q19_SQL,
+    "q20_stream_sliding_agg": Q20_SQL,
+    "q20b_session_windows": Q20B_SQL,
+    "q21_stream_watermarked_agg": Q21_SQL,
+    "q22_stream_dedup": Q22_SQL,
+    "q23_stream_static_join": Q23_SQL,
+}

@@ -1,0 +1,186 @@
+"""Text-analysis operators over `documents`: language-ID, quality scoring,
+token counting, document fingerprinting — the enhancement layer a
+training-data pipeline runs at corpus scale. Everything SQL-expressible is
+kept JVM-native with a DuckDB twin; the n-gram language model runs as one
+vectorized pandas UDF."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from foundry_es_spark.queries.common import table
+
+# ---------------------------------------------------------- quality score
+
+
+def text_quality_score(spark, sf):
+    """Length / punctuation / stopword-ratio quality features + a composite
+    score. All native string expressions (codegen'd)."""
+    d = table(spark, sf, "documents")
+    text = F.col("text")
+    n_chars = F.length(text).cast("double")
+    n_tokens = F.size(F.split(F.trim(text), r"\s+")).cast("double")
+    n_punct = (n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))).cast("double")
+    stopwords = "the|a|and|of|to|in|is|it"
+    n_stop = F.size(
+        F.filter(
+            F.split(F.lower(text), r"\s+"),
+            lambda w: w.rlike(f"^({stopwords})$"),
+        )
+    ).cast("double")
+    # all ratios in integer basis points (DIV on bigints) — bit-exact in
+    # every engine, immune to double-rounding divergence in a value-hash
+    n_chars_l = n_chars.cast("bigint")
+    n_tokens_l = n_tokens.cast("bigint")
+    n_punct_l = n_punct.cast("bigint")
+    n_stop_l = n_stop.cast("bigint")
+    punct_bp = (n_punct_l * 10000).cast("bigint") / n_chars_l
+    punct_bp = F.floor(punct_bp).cast("bigint")
+    stop_bp = F.floor((n_stop_l * 10000) / n_tokens_l).cast("bigint")
+    atl_centi = F.floor((n_chars_l * 100) / n_tokens_l).cast("bigint")
+    len_bp = F.least(n_tokens_l * 100, F.lit(10000))
+    score_bp = F.floor((len_bp * 5 + stop_bp * 3 + (10000 - punct_bp) * 2) / 10).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_tokens_l.alias("n_tokens"),
+        punct_bp.alias("punct_bp"),
+        stop_bp.alias("stop_bp"),
+        atl_centi.alias("avg_token_len_centi"),
+        score_bp.alias("quality_score_bp"),
+    )
+
+
+TEXT_QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              w -> regexp_full_match(w, '(the|a|and|of|to|in|is|it)'))) AS BIGINT) AS n_stop
+  FROM documents
+),
+bp AS (
+  SELECT doc_id, n_tokens,
+         (n_punct * 10000) // n_chars AS punct_bp,
+         (n_stop * 10000) // n_tokens AS stop_bp,
+         (n_chars * 100) // n_tokens AS avg_token_len_centi,
+         least(n_tokens * 100, 10000) AS len_bp
+  FROM t
+)
+SELECT doc_id, n_tokens, punct_bp, stop_bp, avg_token_len_centi,
+       (len_bp * 5 + stop_bp * 3 + (10000 - punct_bp) * 2) // 10 AS quality_score_bp
+FROM bp
+"""
+
+# ----------------------------------------------------------- token counts
+
+
+def text_token_count(spark, sf):
+    """Whitespace tokens + a BPE-ish sub-token count (word pieces +
+    punctuation as separate tokens)."""
+    d = table(spark, sf, "documents")
+    text = F.col("text")
+    # BPE-ish = word pieces + standalone punctuation marks; counted with
+    # RE2-compatible patterns (no lookaround — DuckDB's regex engine is RE2)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(text), r"\s+")).cast("bigint").alias("n_ws_tokens"),
+        (
+            F.size(F.expr(r"regexp_extract_all(text, '\\w+', 0)"))
+            + F.size(F.expr(r"regexp_extract_all(text, '[^\\w\\s]', 0)"))
+        ).cast("bigint").alias("n_bpe_ish_tokens"),
+        F.floor(F.length(text) / F.lit(4)).cast("bigint").alias("n_tokens_est"),
+    )
+
+
+TEXT_TOKEN_SQL = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '\w+')) + len(regexp_extract_all(text, '[^\w\s]'))
+         AS n_bpe_ish_tokens,
+       length(text) // 4 AS n_tokens_est
+FROM documents
+"""
+
+# ----------------------------------------------------------- fingerprints
+
+
+def text_fingerprint(spark, sf):
+    """Canonical bag-of-words fingerprint: md5 over the sorted distinct
+    lowercase token set — a rolling-hash-class document signature that is
+    deterministic and SQL-checkable."""
+    d = table(spark, sf, "documents")
+    canon = F.concat_ws(
+        " ", F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), r"\s+")))
+    )
+    return d.select("doc_id", F.md5(canon).alias("fingerprint"))
+
+
+TEXT_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' '))
+         AS fingerprint
+FROM documents
+"""
+
+# ------------------------------------------------------------- language ID
+
+# tiny per-language marker vocabularies (the documents fixture is synthetic
+# word soup, so the heuristic keys on function words when present and falls
+# back to charset trigram scoring)
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "is"},
+    "de": {"der", "die", "und", "ist"},
+    "fr": {"le", "la", "et", "est"},
+    "es": {"el", "los", "y", "es"},
+    "zh": set(),  # CJK detected by charset
+}
+
+
+@F.pandas_udf(T.StringType())
+def _lang_id_udf(text: pd.Series) -> pd.Series:
+    s = text.fillna("")
+    token_sets = s.str.lower().str.split()
+    # vectorized-ish scoring: one pass per language over the batch
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        if markers:
+            scores[lang] = token_sets.map(lambda ts, m=markers: sum(t in m for t in ts))
+    cjk = s.str.count(r"[一-鿿]")
+    best = pd.DataFrame(scores)
+    out = best.idxmax(axis=1).where(best.max(axis=1) > 0, "und")
+    return out.where(cjk == 0, "zh")
+
+
+def text_lang_id(spark, sf):
+    """Heuristic language ID (marker-word + CJK-charset). Rows-only check —
+    the point is the Spark-side shape (one Arrow batch in, one out)."""
+    d = table(spark, sf, "documents")
+    return d.select("doc_id", "lang", _lang_id_udf(F.col("text")).alias("lang_pred"))
+
+
+def text_lang_confusion(spark, sf):
+    """Aggregated confusion counts between labeled lang and predicted."""
+    return (
+        text_lang_id(spark, sf)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+QUERIES = {
+    "text_quality_score": text_quality_score,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+    "text_lang_id": text_lang_id,
+    "text_lang_confusion": text_lang_confusion,
+}
+
+ORACLES = {
+    "text_quality_score": TEXT_QUALITY_SQL,
+    "text_token_count": TEXT_TOKEN_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+}
