@@ -46,6 +46,8 @@ class PipelineConfig:
     normalize: bool = True           # T1/T2 enhancement stage
     suppress_no_ops: bool = False    # C3 (extra state read per epoch)
     rename_map: dict[str, str] = field(default_factory=dict)  # C7 declared renames
+    merge_mode: str = "mor"          # "mor" (delta append + compaction) | "cow" (rewrite touched buckets)
+    compact_threshold: int = 8       # mor: compact a bucket once it holds this many files
 
 
 class CdcPipeline:
@@ -121,29 +123,34 @@ class CdcPipeline:
 
         merge_batch = merge_batch.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            stats_row = merge_batch.agg(
-                F.count("*").alias("n_keys"),
-                F.sum((F.col("_op") == "D").cast("int")).alias("n_deletes"),
-                F.min("_seq").alias("min_seq"),
-                F.max("_seq").alias("max_seq"),
-            ).collect()[0]
+            # ONE job computes both the global stats and the per-partition
+            # offsets (S6/C5): per-part aggregate rows, folded in the driver.
+            part_rows = (
+                merge_batch.groupBy("_part")
+                .agg(
+                    F.count("*").alias("n_keys"),
+                    F.sum((F.col("_op") == "D").cast("int")).alias("n_deletes"),
+                    F.min("_seq").alias("min_seq"),
+                    F.max("_seq").alias("max_seq"),
+                )
+                .collect()
+            )
+            n_keys = sum(r["n_keys"] for r in part_rows)
             offsets = {
                 str(r["_part"]): {"max_seq": r["max_seq"], "n_keys": r["n_keys"]}
-                for r in merge_batch.groupBy("_part")
-                .agg(F.max("_seq").alias("max_seq"), F.count("*").alias("n_keys"))
-                .collect()
+                for r in part_rows
             }
             info = {
                 "pipeline_id": self.cfg.pipeline_id,
                 "epoch": int(epoch_id),
-                "n_keys": stats_row["n_keys"] or 0,
-                "n_deletes": int(stats_row["n_deletes"] or 0),
+                "n_keys": n_keys,
+                "n_deletes": int(sum(r["n_deletes"] or 0 for r in part_rows)),
                 "n_dead_letters": n_dead,
-                "min_seq": stats_row["min_seq"],
-                "max_seq": stats_row["max_seq"],
+                "min_seq": min((r["min_seq"] for r in part_rows), default=None),
+                "max_seq": max((r["max_seq"] for r in part_rows), default=None),
                 "offsets": offsets,
             }
-            if stats_row["n_keys"] == 0:
+            if n_keys == 0:
                 # nothing to merge — still fence the epoch atomically via a
                 # metadata-only commit.
                 rec = table._current()
@@ -159,14 +166,37 @@ class CdcPipeline:
                     },
                 )
                 return {**info, "skipped": False, "buckets_rewritten": 0}
-            merge_stats = table.merge_upsert(
-                merge_batch.drop("_part"),
-                fence=(self.cfg.pipeline_id, epoch_id),
-                files_per_bucket=self.cfg.files_per_bucket,
-                info={**info, "wall_sec": time.monotonic() - t0},
-            )
+            if self.cfg.merge_mode == "mor":
+                merge_stats = table.append_delta(
+                    merge_batch.drop("_part"),
+                    fence=(self.cfg.pipeline_id, epoch_id),
+                    files_per_bucket=self.cfg.files_per_bucket,
+                    info={**info, "wall_sec": time.monotonic() - t0},
+                )
+            else:
+                merge_stats = table.merge_upsert(
+                    merge_batch.drop("_part"),
+                    fence=(self.cfg.pipeline_id, epoch_id),
+                    files_per_bucket=self.cfg.files_per_bucket,
+                    info={**info, "wall_sec": time.monotonic() - t0},
+                )
         finally:
             merge_batch.unpersist()
+        if self.cfg.merge_mode == "mor":
+            # Amortized maintenance: compact only buckets whose delta-file
+            # count crossed the threshold (driver-side check, no Spark job).
+            hot = [
+                b
+                for b, c in table.bucket_delta_generations().items()
+                if c >= self.cfg.compact_threshold
+            ]
+            if hot:
+                merge_stats = {
+                    **merge_stats,
+                    "compacted": table.compact_buckets(
+                        hot, files_per_bucket=self.cfg.files_per_bucket
+                    ),
+                }
         return {**info, **merge_stats, "skipped": False}
 
     # ------------------------------------------------------ batch replay
