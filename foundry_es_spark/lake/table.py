@@ -233,25 +233,33 @@ class LakeTable:
     # -------------------------------------------------------------- writes
 
     def _write_bucket_data(
-        self, df: DataFrame, version: int, schema_version: int, files_per_bucket: int = 1
+        self,
+        df: DataFrame,
+        version: int,
+        schema_version: int,
+        files_per_bucket: int = 1,
+        pre_partitioned: bool = False,
     ) -> list[dict]:
         """Write df (which carries `bkt`) under data/c{version}/ and
         return file metadata. `files_per_bucket` > 1 splits each bucket by
-        a path-salt so one hot bucket still writes in parallel (C4)."""
+        a path-salt so one hot bucket still writes in parallel (C4).
+        `pre_partitioned`: caller guarantees the frame is already in
+        (bkt, salt) layout sorted by key — skip the shuffle and sort."""
         rel = f"data/c{version:08d}"
         out_dir = os.path.join(self.table_dir, rel)
         # A directory for an uncommitted version is debris from a crashed
         # writer (versions only advance on log commit) — safe to clear.
         if os.path.isdir(out_dir):
             shutil.rmtree(out_dir)
-        if files_per_bucket > 1:
-            salt = F.pmod(F.xxhash64(F.col("path")), F.lit(files_per_bucket))
-            df = df.repartition(F.col("bkt"), salt)
-        else:
-            df = df.repartition("bkt")
+        if not pre_partitioned:
+            if files_per_bucket > 1:
+                salt = F.pmod(F.xxhash64(F.col("path")), F.lit(files_per_bucket))
+                df = df.repartition(F.col("bkt"), salt)
+            else:
+                df = df.repartition("bkt")
+            df = df.sortWithinPartitions("repo", "path")
         (
-            df.sortWithinPartitions("repo", "path")
-            .write.mode("errorifexists")
+            df.write.mode("errorifexists")
             .partitionBy("bkt")
             .parquet(out_dir)
         )
@@ -292,6 +300,7 @@ class LakeTable:
         fence: tuple[str, int] | None = None,
         files_per_bucket: int = 1,
         info: dict | None = None,
+        pre_partitioned: bool = False,
     ) -> dict:
         """Merge-on-read upsert: append the pre-compacted batch as a new
         delta generation, bucketed like the base files, WITHOUT reading or
@@ -306,12 +315,14 @@ class LakeTable:
         merge-on-read / Hudi MOR strategy restated for the local backend.
         """
         rec = self._current()
-        batch = batch.withColumn("bkt", bucket_expr(rec["n_buckets"]))
+        if "bkt" not in batch.columns:
+            batch = batch.withColumn("bkt", bucket_expr(rec["n_buckets"]))
         cur_names = [f.name for f in self.schema_fields(rec)]
         batch = batch.select(*cur_names, "_seq", "_op", "bkt")
         version = rec["version"] + 1
         new_files = self._write_bucket_data(
-            batch, version, rec["schema_version"], files_per_bucket=files_per_bucket
+            batch, version, rec["schema_version"],
+            files_per_bucket=files_per_bucket, pre_partitioned=pre_partitioned,
         )
         for f in new_files:
             f["delta"] = True
@@ -325,6 +336,8 @@ class LakeTable:
         }
         record = {**rec, "version": version, "files": rec["files"] + new_files, "fences": fences}
         if info is not None:
+            if callable(info):
+                info = info()  # post-write: lets Observation-based stats resolve
             record["epoch_info"] = {**info, **stats}
         commitlog.write_commit(self.table_dir, record)
         return stats
@@ -428,6 +441,8 @@ class LakeTable:
         }
         record = {**rec, "version": version, "files": keep_files + new_files, "fences": fences}
         if info is not None:
+            if callable(info):
+                info = info()  # post-write: lets Observation-based stats resolve
             record["epoch_info"] = {**info, **stats}
         else:
             record.pop("epoch_info", None)

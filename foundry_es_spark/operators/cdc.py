@@ -21,17 +21,22 @@ from pyspark.sql import functions as F
 from foundry_es_spark.schema import KEY_COLS, VALID_OPS
 
 
-def validate_split(events: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """S7 dead-letter split: malformed events are quarantined, never fail
-    the epoch (reference failure queues [F-ES: dispatcher config —
-    UNVERIFIED])."""
-    valid = (
+def validity_expr() -> F.Column:
+    """The S7 validity predicate as a reusable column expression."""
+    return (
         F.col("repo").isNotNull()
         & F.col("path").isNotNull()
         & F.col("seq").isNotNull()
         & F.col("op").isin(*VALID_OPS)
         & (F.col("content").isNotNull() | (F.col("op") == "D"))
     )
+
+
+def validate_split(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """S7 dead-letter split: malformed events are quarantined, never fail
+    the epoch (reference failure queues [F-ES: dispatcher config —
+    UNVERIFIED])."""
+    valid = validity_expr()
     return events.where(valid), events.where(~F.coalesce(valid, F.lit(False)))
 
 
@@ -68,6 +73,121 @@ def compact_latest(
         .agg(F.max_by(payload, F.col(order_col)).alias("r"))
         .select("r.*")
     )
+
+
+def compact_latest_winners(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    order_col: str = "seq",
+    broadcast_winners: bool = True,
+) -> DataFrame:
+    """C1+C2 alternative physical strategy: compact WITHOUT shuffling the
+    payload.
+
+    The wide ``content`` column dominates epoch I/O; ``compact_latest``'s
+    groupBy ships it through a full shuffle just to discard ~30% of rows.
+    Here the shuffle only carries ``(key, seq)`` (the winners aggregation —
+    parquet column pruning means the scan for it reads a few narrow
+    columns), and the payload is then joined back against the original scan
+    on ``(key, seq)``: a broadcast hash join when the per-epoch key set fits
+    (local sandbox, and any cluster epoch up to ~10^7 keys), else a regular
+    join that still ships content only once. Requires `order_col` unique per
+    key (the engine's global-seq contract).
+    """
+    key_cols = key_cols or KEY_COLS
+    winners = events.groupBy(*key_cols).agg(F.max(order_col).alias(order_col))
+    if broadcast_winners:
+        winners = F.broadcast(winners)
+    return events.join(winners, on=[*key_cols, order_col], how="inner")
+
+
+def compact_sorted_partitions(
+    events: DataFrame,
+    n_buckets: int,
+    files_per_bucket: int = 1,
+    key_cols: list[str] | None = None,
+    order_col: str = "seq",
+    n_salts: int | None = None,
+    emit_meta: bool = False,
+) -> DataFrame:
+    """C1+C2 physical strategy "sorted": ONE payload shuffle, straight to
+    the sink's write layout.
+
+    Events are repartitioned by ``(bkt, salt)`` — the exact layout the lake
+    table writes — and sorted within partitions by ``(key, seq)``. Because
+    bucket and salt are pure functions of the key, every event of a key
+    lands in one partition, so latest-wins compaction is a per-partition
+    ``drop_duplicates(keep='last')`` over Arrow batches (vectorized pandas,
+    no per-row Python). No broadcast (nothing driver-serial), no second
+    shuffle (the writer sees data already in layout), no key-only join.
+
+    Memory: one partition buffers in the Python worker; partition size =
+    epoch_bytes / (n_buckets * files_per_bucket), bounded by choosing
+    bucket counts for the target epoch size (the same sizing rule any
+    hash-partitioned sink needs).
+    """
+    key_cols = key_cols or KEY_COLS
+    from foundry_es_spark.lake.table import bucket_expr
+
+    # C4 hot-key salting: the salt count sets COMPUTE parallelism for a hot
+    # bucket (one giant repo spreads over n_salts partitions), independent
+    # of the write layout (`files_per_bucket` only shapes file counts —
+    # `partitionBy(bkt)` splits a task's rows per bucket regardless of how
+    # many (bkt, salt) combos the task carries).
+    if n_salts is None:
+        n_salts = max(1, files_per_bucket)
+    events = events.withColumn("bkt", bucket_expr(n_buckets)).withColumn(
+        "_salt", F.pmod(F.xxhash64(key_cols[-1]), F.lit(max(1, n_salts)))
+    )
+    parted = events.repartition(F.col("bkt"), F.col("_salt")).sortWithinPartitions(
+        *key_cols, order_col
+    )
+    kc = list(key_cols)
+
+    out_fields = list(parted.schema.fields)
+    if emit_meta:
+        from pyspark.sql import types as T
+
+        from foundry_es_spark.functions.normalize import DATS_META_TYPE
+
+        out_fields = out_fields + [T.StructField("meta", DATS_META_TYPE, True)]
+        out_schema = T.StructType(out_fields)
+    else:
+        out_schema = parted.schema
+
+    def _dedup_gen(batches):
+        """Whole partition in Arrow: boundary-compare dedup on the sorted
+        key runs, then (optionally) the DATS meta struct — zero pandas
+        conversion, RE2-backed kernels, no per-row Python."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        batches = list(batches)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        n = tbl.num_rows
+        if n == 0:
+            return
+        if n == 1:
+            mask = pa.array([True])
+        else:
+            # sorted by (key, seq): a row is its key's latest iff the next
+            # row starts a different key run
+            neq = None
+            for k in kc:
+                col = tbl.column(k).combine_chunks()
+                d = pc.not_equal(col.slice(0, n - 1), col.slice(1))
+                neq = d if neq is None else pc.or_(neq, d)
+            mask = pa.concat_arrays([neq.combine_chunks() if isinstance(neq, pa.ChunkedArray) else neq, pa.array([True])])
+        out = tbl.filter(mask)
+        if emit_meta:
+            from foundry_es_spark.functions.normalize import dats_meta_arrow
+
+            out = out.append_column("meta", dats_meta_arrow(out.column("content")))
+        yield from out.to_batches(max_chunksize=8192)
+
+    return parted.mapInArrow(_dedup_gen, schema=out_schema).drop("_salt")
 
 
 def suppress_unchanged(

@@ -17,10 +17,9 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.storagelevel import StorageLevel
 
 from foundry_es_spark.functions.normalize import (
     NORMALIZED_FIELDS,
@@ -28,11 +27,62 @@ from foundry_es_spark.functions.normalize import (
 )
 from foundry_es_spark.lake import LakeTable
 from foundry_es_spark.lake import log as commitlog
-from foundry_es_spark.operators.cdc import compact_latest, suppress_unchanged, validate_split
+from foundry_es_spark.operators.cdc import (
+    compact_latest,
+    compact_latest_winners,
+    compact_sorted_partitions,
+    suppress_unchanged,
+    validate_split,
+    validity_expr,
+)
 from foundry_es_spark.schema import BASE_SCHEMA
 
 # Envelope columns that never become table columns.
 ENVELOPE_COLS = {"seq", "ts", "op", "part", "epoch"}
+
+
+def offsets_from_footers(epoch_dir: str) -> dict | None:
+    """Per-partition consumed offsets from parquet FOOTER statistics — a
+    driver-side metadata read (a few KB per file), replacing a cluster-wide
+    pre-scan job. Offsets are raw stream positions, so row-group
+    ``num_rows`` and the ``seq`` column's min/max stats are exact.
+    Returns None when the layout/stats don't allow it (caller falls back to
+    the pre-scan job)."""
+    import pyarrow.parquet as pq
+
+    offsets: dict[str, dict] = {}
+    gmin: int | None = None
+    gmax: int | None = None
+    total = 0
+    try:
+        part_dirs = [d for d in os.listdir(epoch_dir) if d.startswith("part=")]
+        if not part_dirs:
+            return None
+        for pd_ in part_dirs:
+            part = pd_.split("=", 1)[1]
+            p_rows, p_max = 0, None
+            for fn in os.listdir(os.path.join(epoch_dir, pd_)):
+                if not fn.endswith(".parquet"):
+                    continue
+                meta = pq.read_metadata(os.path.join(epoch_dir, pd_, fn))
+                names = meta.schema.names
+                if "seq" not in names:
+                    return None
+                seq_i = names.index("seq")
+                p_rows += meta.num_rows
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(seq_i).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    p_max = st.max if p_max is None else max(p_max, st.max)
+                    gmin = st.min if gmin is None else min(gmin, st.min)
+                    gmax = st.max if gmax is None else max(gmax, st.max)
+            if p_rows:
+                offsets[part] = {"max_seq": int(p_max), "n_events": int(p_rows)}
+                total += p_rows
+    except OSError:
+        return None
+    return {"offsets": offsets, "n_events": total, "min_seq": gmin, "max_seq": gmax}
 
 
 @dataclass
@@ -47,7 +97,10 @@ class PipelineConfig:
     suppress_no_ops: bool = False    # C3 (extra state read per epoch)
     rename_map: dict[str, str] = field(default_factory=dict)  # C7 declared renames
     merge_mode: str = "mor"          # "mor" (delta append + compaction) | "cow" (rewrite touched buckets)
-    compact_threshold: int = 8       # mor: compact a bucket once it holds this many files
+    compact_threshold: int = 8       # mor: compact a bucket once it holds this many delta generations
+    compact_strategy: str = "sorted" # "sorted" (one shuffle straight to write layout, pandas dedup)
+                                     # | "winners" (key-only shuffle + payload join-back)
+                                     # | "agg" (max_by full shuffle)
 
 
 class CdcPipeline:
@@ -73,24 +126,91 @@ class CdcPipeline:
 
     # -------------------------------------------------------- epoch body
 
-    def apply_epoch(self, batch: DataFrame, epoch_id: int) -> dict:
+    def apply_epoch(
+        self, batch: DataFrame, epoch_id: int, offsets_hint: dict | None = None
+    ) -> dict:
         """Apply one micro-batch / replay chunk as epoch `epoch_id`.
 
         Idempotent: a fenced epoch is skipped entirely (C5). Safe under
         re-delivery because the merge is additionally seq-conditional.
+
+        `offsets_hint` (from :func:`offsets_from_footers`) carries the
+        per-partition consumed offsets pre-computed from parquet footer
+        statistics — the batch-replay path supplies it so the epoch needs
+        NO separate pre-scan job; without it (streaming / ad-hoc batches)
+        a light per-partition aggregate job derives the same numbers.
         """
         table = self.ensure_table()
         if table.is_epoch_committed(self.cfg.pipeline_id, epoch_id):
             return {"epoch": epoch_id, "skipped": True}
 
         t0 = time.monotonic()
-        valid, dead = validate_split(batch)
-        n_dead = self._write_dead_letters(dead, epoch_id)
-
-        # C1+C2 — one shuffle; map-side combine collapses hot keys early.
-        compacted = compact_latest(
-            valid, salt_partitions=self.cfg.salt_partitions
+        stage_sec: dict[str, float] = {}
+        part_col = (
+            F.col("part") if "part" in batch.columns
+            else F.pmod(F.xxhash64("repo"), F.lit(self.cfg.n_parts))
         )
+
+        ok = validity_expr()
+        if offsets_hint is not None:
+            # Offsets are raw consumed stream positions (C5/C6), so footer
+            # row-counts/min-max are exact regardless of validity.
+            pre_rows = None
+            offsets = offsets_hint["offsets"]
+            n_valid = int(offsets_hint["n_events"])  # upper bound incl. invalid
+            min_seq, max_seq = offsets_hint["min_seq"], offsets_hint["max_seq"]
+        else:
+            # Pre-scan (ONE light job, no shuffle beyond n_parts groups).
+            pre_rows = (
+                batch.groupBy(part_col.alias("_part"))
+                .agg(
+                    F.count(F.when(ok, 1)).alias("n_valid"),
+                    F.count(F.when(~F.coalesce(ok, F.lit(False)), 1)).alias("n_dead"),
+                    F.min(F.when(ok, F.col("seq"))).alias("min_seq"),
+                    F.max(F.when(ok, F.col("seq"))).alias("max_seq"),
+                )
+                .collect()
+            )
+            n_valid = sum(r["n_valid"] for r in pre_rows)
+            n_dead = int(sum(r["n_dead"] for r in pre_rows))
+            offsets = {
+                str(r["_part"]): {"max_seq": r["max_seq"], "n_events": r["n_valid"]}
+                for r in pre_rows
+                if r["n_valid"]
+            }
+            min_seq = min((r["min_seq"] for r in pre_rows if r["min_seq"] is not None), default=None)
+            max_seq = max((r["max_seq"] for r in pre_rows if r["max_seq"] is not None), default=None)
+            if n_dead:
+                _, dead = validate_split(batch)
+                self._write_dead_letters(dead, epoch_id)
+        # Footer-hint path: validity is counted by an Observation riding the
+        # main job (pre-filter), so no extra scan happens either way.
+        obs_pre = Observation()
+        batch = batch.observe(
+            obs_pre,
+            F.sum((~F.coalesce(ok, F.lit(False))).cast("int")).alias("n_dead"),
+        )
+        valid = batch.where(ok)
+        stage_sec["prescan"] = round(time.monotonic() - t0, 3)
+
+        # C1+C2 — three physical strategies for the same logical operator
+        # (operators/cdc.py): "sorted" ships the payload exactly once,
+        # straight into the sink's (bucket, salt) write layout; "winners"
+        # keeps content out of the compaction shuffle via a key-only
+        # aggregate + join-back; "agg" is the classic max_by groupBy.
+        pre_partitioned = False
+        if self.cfg.compact_strategy == "sorted" and self.cfg.merge_mode == "mor":
+            compacted = compact_sorted_partitions(
+                valid,
+                self.cfg.n_buckets,
+                self.cfg.files_per_bucket,
+                emit_meta=self.cfg.normalize,
+            )
+            pre_partitioned = True
+        elif self.cfg.compact_strategy == "winners":
+            compacted = compact_latest_winners(valid)
+        else:
+            compacted = compact_latest(valid, salt_partitions=self.cfg.salt_partitions)
 
         # C7 — evolve the table to accept this batch's payload shape.
         payload_fields = [f for f in batch.schema.fields if f.name not in ENVELOPE_COLS]
@@ -101,10 +221,6 @@ class CdcPipeline:
         enriched = with_normalized_columns(compacted) if self.cfg.normalize else compacted
 
         user_fields = table.schema_fields()
-        part_col = (
-            F.col("part") if "part" in batch.columns
-            else F.pmod(F.xxhash64("repo"), F.lit(self.cfg.n_parts))
-        )
         select = []
         for uf in user_fields:
             if uf.name in enriched.columns:
@@ -115,76 +231,91 @@ class CdcPipeline:
             *select,
             F.col("seq").alias("_seq"),
             F.col("op").alias("_op"),
-            part_col.alias("_part"),
         )
 
         if self.cfg.suppress_no_ops:
             merge_batch = suppress_unchanged(merge_batch, table.read_internal())
 
-        merge_batch = merge_batch.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            # ONE job computes both the global stats and the per-partition
-            # offsets (S6/C5): per-part aggregate rows, folded in the driver.
-            part_rows = (
-                merge_batch.groupBy("_part")
-                .agg(
-                    F.count("*").alias("n_keys"),
-                    F.sum((F.col("_op") == "D").cast("int")).alias("n_deletes"),
-                    F.min("_seq").alias("min_seq"),
-                    F.max("_seq").alias("max_seq"),
-                )
-                .collect()
+        info = {
+            "pipeline_id": self.cfg.pipeline_id,
+            "epoch": int(epoch_id),
+            "n_events": int(n_valid),
+            "n_dead_letters": 0 if pre_rows is None else n_dead,
+            "min_seq": min_seq,
+            "max_seq": max_seq,
+            "offsets": offsets,
+        }
+        if n_valid == 0:
+            # nothing to merge — still fence the epoch atomically via a
+            # metadata-only commit.
+            rec = table._current()
+            info = {**info, "n_keys": 0, "n_deletes": 0}
+            commitlog.write_commit(
+                table.table_dir,
+                {
+                    **rec,
+                    "version": rec["version"] + 1,
+                    "fences": table._advance_fence(
+                        rec["fences"], self.cfg.pipeline_id, epoch_id
+                    ),
+                    "epoch_info": {**info, "wall_sec": time.monotonic() - t0},
+                },
             )
-            n_keys = sum(r["n_keys"] for r in part_rows)
-            offsets = {
-                str(r["_part"]): {"max_seq": r["max_seq"], "n_keys": r["n_keys"]}
-                for r in part_rows
+            return {**info, "skipped": False, "buckets_rewritten": 0}
+
+        # The whole epoch — compaction shuffle, Arrow-vectorized enhancement,
+        # bucket shuffle, sorted parquet write — executes as ONE Spark job;
+        # merge stats ride on Observations instead of a second
+        # materialization (no persist, no duplicate shuffle).
+        t2 = time.monotonic()
+        obs = Observation()
+        merge_batch = merge_batch.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum((F.col("_op") == "D").cast("int")).alias("n_deletes"),
+        )
+
+        def _info() -> dict:
+            vals = obs.get
+            return {
+                **info,
+                "n_keys": int(vals["n_keys"]),
+                "n_deletes": int(vals["n_deletes"] or 0),
+                "wall_sec": time.monotonic() - t0,
+                "stage_sec": stage_sec,
             }
-            info = {
-                "pipeline_id": self.cfg.pipeline_id,
-                "epoch": int(epoch_id),
-                "n_keys": n_keys,
-                "n_deletes": int(sum(r["n_deletes"] or 0 for r in part_rows)),
-                "n_dead_letters": n_dead,
-                "min_seq": min((r["min_seq"] for r in part_rows), default=None),
-                "max_seq": max((r["max_seq"] for r in part_rows), default=None),
-                "offsets": offsets,
-            }
-            if n_keys == 0:
-                # nothing to merge — still fence the epoch atomically via a
-                # metadata-only commit.
-                rec = table._current()
-                commitlog.write_commit(
-                    table.table_dir,
-                    {
-                        **rec,
-                        "version": rec["version"] + 1,
-                        "fences": table._advance_fence(
-                            rec["fences"], self.cfg.pipeline_id, epoch_id
-                        ),
-                        "epoch_info": {**info, "wall_sec": time.monotonic() - t0},
-                    },
-                )
-                return {**info, "skipped": False, "buckets_rewritten": 0}
-            if self.cfg.merge_mode == "mor":
-                merge_stats = table.append_delta(
-                    merge_batch.drop("_part"),
-                    fence=(self.cfg.pipeline_id, epoch_id),
-                    files_per_bucket=self.cfg.files_per_bucket,
-                    info={**info, "wall_sec": time.monotonic() - t0},
-                )
-            else:
-                merge_stats = table.merge_upsert(
-                    merge_batch.drop("_part"),
-                    fence=(self.cfg.pipeline_id, epoch_id),
-                    files_per_bucket=self.cfg.files_per_bucket,
-                    info={**info, "wall_sec": time.monotonic() - t0},
-                )
-        finally:
-            merge_batch.unpersist()
+
+        if self.cfg.merge_mode == "mor":
+            merge_stats = table.append_delta(
+                merge_batch,
+                fence=(self.cfg.pipeline_id, epoch_id),
+                files_per_bucket=self.cfg.files_per_bucket,
+                info=_info,
+                pre_partitioned=pre_partitioned,
+            )
+        else:
+            merge_stats = table.merge_upsert(
+                merge_batch,
+                fence=(self.cfg.pipeline_id, epoch_id),
+                files_per_bucket=self.cfg.files_per_bucket,
+                info=_info,
+            )
+        stage_sec["merge_write"] = round(time.monotonic() - t2, 3)
+        info = {**info, "n_keys": int(obs.get["n_keys"]), "n_deletes": int(obs.get["n_deletes"] or 0)}
+        if offsets_hint is not None:
+            # Footer-hint path never pre-scanned for validity: the pre-filter
+            # Observation says whether anything was malformed; only then run
+            # the (idempotent, post-commit) quarantine write — the rare path
+            # costs a job, the common path costs nothing.
+            n_dead = int(obs_pre.get["n_dead"] or 0)
+            if n_dead:
+                _, dead = validate_split(batch)
+                self._write_dead_letters(dead, epoch_id)
+            info = {**info, "n_dead_letters": n_dead}
         if self.cfg.merge_mode == "mor":
             # Amortized maintenance: compact only buckets whose delta-file
             # count crossed the threshold (driver-side check, no Spark job).
+            t3 = time.monotonic()
             hot = [
                 b
                 for b, c in table.bucket_delta_generations().items()
@@ -197,7 +328,8 @@ class CdcPipeline:
                         hot, files_per_bucket=self.cfg.files_per_bucket
                     ),
                 }
-        return {**info, **merge_stats, "skipped": False}
+                stage_sec["compaction"] = round(time.monotonic() - t3, 3)
+        return {**info, **merge_stats, "stage_sec": stage_sec, "skipped": False}
 
     # ------------------------------------------------------ batch replay
 
@@ -217,8 +349,11 @@ class CdcPipeline:
         for e in epochs:
             if e < start:
                 continue
-            batch = self.spark.read.parquet(os.path.join(events_dir, f"epoch={e}"))
-            results.append(self.apply_epoch(batch, e))
+            epoch_dir = os.path.join(events_dir, f"epoch={e}")
+            batch = self.spark.read.parquet(epoch_dir)
+            results.append(
+                self.apply_epoch(batch, e, offsets_hint=offsets_from_footers(epoch_dir))
+            )
         return results
 
     # ------------------------------------------------- system-table views
@@ -237,16 +372,16 @@ class CdcPipeline:
         """S6 lineage/metrics table: one row per committed epoch, from the
         commit log (atomic with the fence by construction)."""
         schema = (
-            "pipeline_id string, epoch long, table_version long, n_keys long, "
-            "n_deletes long, n_dead_letters long, min_seq long, max_seq long, "
-            "wall_sec double, buckets_rewritten long, files_written long"
+            "pipeline_id string, epoch long, table_version long, n_events long, "
+            "n_keys long, n_deletes long, n_dead_letters long, min_seq long, "
+            "max_seq long, wall_sec double, buckets_rewritten long, files_written long"
         )
         rows = [
             {
                 k: info.get(k)
                 for k in [
-                    "pipeline_id", "epoch", "table_version", "n_keys", "n_deletes",
-                    "n_dead_letters", "min_seq", "max_seq", "wall_sec",
+                    "pipeline_id", "epoch", "table_version", "n_events", "n_keys",
+                    "n_deletes", "n_dead_letters", "min_seq", "max_seq", "wall_sec",
                     "buckets_rewritten", "files_written",
                 ]
             }
@@ -265,11 +400,11 @@ class CdcPipeline:
                         "epoch": info["epoch"],
                         "part": int(part),
                         "max_seq": o["max_seq"],
-                        "n_keys": o["n_keys"],
+                        "n_events": o.get("n_events", o.get("n_keys")),
                     }
                 )
         return self.spark.createDataFrame(
-            rows, schema="pipeline_id string, epoch long, part int, max_seq long, n_keys long"
+            rows, schema="pipeline_id string, epoch long, part int, max_seq long, n_events long"
         )
 
     def dead_letters(self) -> DataFrame:

@@ -31,6 +31,16 @@ def get_spark(
     - UTC session TZ: required for DuckDB-oracle comparisons.
     """
     master = master or DEFAULT_MASTER
+    # Make the engine package importable inside Python workers (UDF /
+    # mapInArrow closures reference it). Local-mode workers inherit the
+    # driver process env; on a cluster `spark-submit --py-files engine.zip`
+    # plays this role. Must happen before the JVM/gateway starts.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     if shuffle_partitions is None:
         n = master.split("[")[-1].rstrip("]")
         cores = os.cpu_count() or 8 if n in ("*", "") else int(n)
@@ -46,7 +56,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # 64 MB splits + 32 MB post-shuffle targets: content rows are
+        # multi-KB, so finer grain keeps every core in full waves (measured
+        # 24% epoch speedup at width 8 vs the 128 MB default)
+        .config("spark.sql.files.maxPartitionBytes", "67108864")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "33554432")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
