@@ -220,7 +220,7 @@ two parallelism levels in fresh JVMs (no real cluster in this sandbox).
   median making the figure robust to single-epoch host-noise stragglers;
   2 warm-up epochs excluded of {l8['epochs']}.
 - Identical driver memory and engine config at both levels; only
-  master/shuffle-partitions differ (local[8]/32 vs local[32]/128).
+  master/shuffle-partitions differ (local[{n_lo}]/{n_lo*8} vs local[{n_hi}]/{n_hi*8}).
 
 | level | master | events/sec (sustained) | median epoch s | per-epoch s | final rows |
 | --- | --- | --- | --- | --- | --- |
