@@ -56,15 +56,27 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
 # ------------------------------------------------------- shingles helpers
 
 
-def _word_shingles(col, k: int = 3):
-    """k-word shingles as an array<string>, built JVM-side: split → slide.
-    Empty/short docs yield the whole-doc token join (1 shingle)."""
-    words = F.split(F.lower(col), r"\s+")
+def _word_shingles(words_col, k: int = 3):
+    """k-word shingles as an array<string> from a PRE-MATERIALIZED word
+    array column, built JVM-side: slide over the array. Callers must
+    project `split(lower(text))` into its own column first — inlining the
+    split into this lambda would re-split the full text once per shingle
+    (O(words^2) per document; visible as `split` inside the lambda in the
+    physical plan). Empty/short docs yield the whole-doc join (1 shingle).
+    """
+    words = F.col(words_col) if isinstance(words_col, str) else words_col
     n = F.greatest(F.size(words) - (k - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(0), n - 1),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
     )
+
+
+def _shingle_sets(d, k: int = 3):
+    """(doc_id, sh): distinct k-word shingle sets, split materialized once."""
+    return d.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("w")
+    ).select("doc_id", F.array_distinct(_word_shingles("w", k)).alias("sh"))
 
 
 # ----------------------------------------------------------- minhash+LSH
@@ -73,10 +85,14 @@ N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
 
-def _minhash_signature(shingles):
+def _minhash_signature(hashed):
+    """16-lane minhash over PRE-HASHED shingles (array<long>): per-lane
+    re-hash of the long — 8-byte input, far cheaper than hashing the
+    shingle string 16 times. Callers materialize the base hash array in
+    its own projection so it is computed exactly once."""
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.array_min(F.transform(hashed, lambda h, i=i: F.xxhash64(h, F.lit(i))))
             for i in range(N_HASHES)
         ]
     )
@@ -90,13 +106,18 @@ def dedup_minhash_lsh(spark, sf, jaccard_threshold: float = 0.5):
     """
     d = table(spark, sf, "documents")
     rows_per_band = N_HASHES // N_BANDS
-    sig = d.select(
-        "doc_id",
-        _word_shingles(F.col("text")).alias("shingles"),
-    ).withColumn("sig", _minhash_signature(F.col("shingles")))
+    # shingle sets computed once; the banded self-join carries ONLY
+    # (doc_id, band, band_hash) — never the shingle arrays (at 100 TB the
+    # candidate set is tiny relative to the corpus, so the join-back to
+    # shingles touches few rows, while arrays through the band exchange
+    # would 4x the shuffle)
+    sh = _shingle_sets(d)
+    sig = (
+        sh.select("doc_id", F.transform(F.col("sh"), lambda x: F.xxhash64(x)).alias("hsh"))
+        .select("doc_id", _minhash_signature(F.col("hsh")).alias("sig"))
+    )
     banded = sig.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -110,7 +131,7 @@ def dedup_minhash_lsh(spark, sf, jaccard_threshold: float = 0.5):
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "shingles", "bb.band", "bb.bh")
+    ).select("doc_id", "bb.band", "bb.bh")
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -120,18 +141,17 @@ def dedup_minhash_lsh(spark, sf, jaccard_threshold: float = 0.5):
             & (F.col("l.bh") == F.col("r.bh"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
-        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    inter = F.size(F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
-    union = F.size(F.array_union(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
+    pairs = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 4))
+        pairs.withColumn("jaccard", F.round(inter / union, 4))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -217,9 +237,7 @@ def dedup_ngram_jaccard(spark, sf):
     SQL-checkable twin of the LSH path (deterministic candidate set keeps
     the oracle O(n))."""
     d = table(spark, sf, "documents")
-    sh = d.select(
-        "doc_id", F.array_distinct(_word_shingles(F.col("text"))).alias("sh")
-    )
+    sh = _shingle_sets(d)
     a = sh.alias("a")
     b = sh.select((F.col("doc_id") - 1).alias("doc_id"), F.col("sh").alias("sh_b")).alias("b")
     pairs = a.join(b, "doc_id")
