@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Streaming CDC ingest entrypoint (north_rule deployment shape):
+
+    spark-submit --py-files engine.zip run_pipeline.py \
+        --events-dir /data/events --table-dir /lake/repos \
+        --checkpoint-dir /lake/_ckpt/repos --pipeline-id prod
+
+Tails the event log as a Structured Streaming file source (Kafka on a real
+cluster — `foundry_es_spark.sources.read_events_kafka`) and applies each
+micro-batch through the epoch body. Exactly-once: streaming checkpoint +
+sink-side epoch fences (either alone survives a crash; together they cover
+both sides of the commit). Resumable by re-running the same command.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events-dir", required=True)
+    ap.add_argument("--table-dir", required=True)
+    ap.add_argument("--checkpoint-dir", required=True)
+    ap.add_argument("--pipeline-id", default="stream")
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--files-per-bucket", type=int, default=2)
+    ap.add_argument("--merge-mode", default="mor", choices=["mor", "cow"])
+    ap.add_argument("--compact-strategy", default="sorted", choices=["sorted", "winners", "agg"])
+    ap.add_argument("--max-files-per-trigger", type=int, default=64)
+    ap.add_argument("--continuous", action="store_true",
+                    help="keep running for new files (default: drain available then exit)")
+    args = ap.parse_args()
+
+    from foundry_es_spark.plans import CdcPipeline, PipelineConfig
+    from foundry_es_spark.session import get_spark
+    from foundry_es_spark.streaming import run_stream
+
+    spark = get_spark(app_name=f"cdc-ingest-{args.pipeline_id}")
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(
+            pipeline_id=args.pipeline_id,
+            table_dir=args.table_dir,
+            n_buckets=args.n_buckets,
+            files_per_bucket=args.files_per_bucket,
+            merge_mode=args.merge_mode,
+            compact_strategy=args.compact_strategy,
+        ),
+    )
+    query = run_stream(
+        spark,
+        pipe,
+        args.events_dir,
+        args.checkpoint_dir,
+        max_files_per_trigger=args.max_files_per_trigger,
+        await_termination=False,
+    )
+    query.awaitTermination()
+    lineage = pipe.lineage()
+    n = lineage.count()
+    print(f"committed epochs: {n}; final rows: {pipe.table.read().count()}")
+
+
+if __name__ == "__main__":
+    main()
