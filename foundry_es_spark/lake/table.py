@@ -163,23 +163,116 @@ class LakeTable:
 
     # --------------------------------------------------------------- reads
 
-    def _merge_generations(self, rec: dict, df: DataFrame, files: list[dict]) -> DataFrame:
-        """Merge-on-read: collapse delta generations to latest row per key.
+    def _bucket_local_merge(self, rec: dict, files: list[dict]) -> DataFrame:
+        """Merge-on-read with NO payload shuffle: every file of a bucket
+        holds a disjoint key range vs other buckets (the write layout is
+        ``bucket(N, repo)`` across ALL generations), so latest-row-per-key
+        is a bucket-local problem. The driver ships each bucket's file list
+        as one metadata row; a ``mapInArrow`` task then reads that bucket's
+        base+delta files with pyarrow, aligns old schema versions to the
+        current one by stable field id, sorts by ``(key, _seq, generation)``
+        and keeps the last row of each key run — the same boundary-compare
+        dedup as ``operators.cdc.compact_sorted_partitions``.
 
-        Engine contract: ``_seq`` is unique per key (a global event order),
-        so ``max_by(payload, _seq)`` is deterministic. Skipped entirely when
-        no file in `files` is a delta — pure copy-on-write snapshots read
-        with zero extra shuffle.
+        Versus the old ``groupBy(key).agg(max_by(payload, _seq))``: that
+        plan ships the ENTIRE table (content included) through an exchange
+        whenever a single delta file exists. Here the only thing that moves
+        is the per-bucket file list (bytes); the payload is read once,
+        merged in place, and streamed out. This is the Hudi/Iceberg MoR
+        file-group-local merge restated for the local backend — the plan
+        contains no Exchange (asserted in tests/test_mor.py).
+
+        Tie-break: equal ``_seq`` (e.g. snapshot rows at -1) resolves to the
+        later generation, a strictly stronger guarantee than max_by's
+        unspecified tie order.
         """
+        key_cols = list(rec.get("key_cols", ["repo", "path"]))
+        cur_fields = self.schema_fields(rec)
+        out_schema = _fields_to_struct(cur_fields, with_sys=True)
+
+        # Per-schema-version projection plan: for each current field, the
+        # source column name in that version's files (None → null fill).
+        svs = sorted({f["schema_version"] for f in files})
+        proj: dict[int, list[str | None]] = {}
+        for sv in svs:
+            old_by_id = {f.id: f.name for f in self.schema_fields(rec, schema_version=sv)}
+            proj[sv] = [old_by_id.get(cf.id) for cf in cur_fields]
+        cur_names = [cf.name for cf in cur_fields]
+
+        import json as _json
+
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        target_types = [to_arrow_type(f.dataType) for f in out_schema.fields]
+        by_bucket: dict[int, list[dict]] = {}
+        for gen, f in enumerate(files):
+            by_bucket.setdefault(f["bucket"], []).append(
+                {"path": os.path.join(self.table_dir, f["path"]), "sv": f["schema_version"], "gen": gen}
+            )
+        meta_rows = [(b, _json.dumps(specs)) for b, specs in sorted(by_bucket.items())]
+
+        def _merge_bucket(iterator):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            for mb in iterator:
+                for row in mb.to_pylist():
+                    specs = _json.loads(row["files"])
+                    parts = []
+                    for spec in specs:
+                        t = pq.read_table(spec["path"])
+                        cols, names = [], []
+                        for i, name in enumerate(cur_names):
+                            src = proj[spec["sv"]][i]
+                            if src is None or src not in t.column_names:
+                                col = pa.nulls(t.num_rows, target_types[i])
+                            else:
+                                col = t.column(src)
+                                if col.type != target_types[i]:
+                                    col = pc.cast(col, target_types[i])
+                            cols.append(col)
+                            names.append(name)
+                        for sc_ in ("_seq", "_op"):
+                            cols.append(pc.cast(t.column(sc_), target_types[len(names)]))
+                            names.append(sc_)
+                        cols.append(pa.array([spec["gen"]] * t.num_rows, pa.int32()))
+                        names.append("_gen")
+                        parts.append(pa.table(dict(zip(names, cols))))
+                    tbl = pa.concat_tables(parts).combine_chunks()
+                    n = tbl.num_rows
+                    if n == 0:
+                        continue
+                    order = [(k, "ascending") for k in key_cols] + [
+                        ("_seq", "ascending"), ("_gen", "ascending"),
+                    ]
+                    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=order))
+                    if n == 1:
+                        mask = pa.array([True])
+                    else:
+                        neq = None
+                        for k in key_cols:
+                            col = tbl.column(k).combine_chunks()
+                            d = pc.not_equal(col.slice(0, n - 1), col.slice(1))
+                            neq = d if neq is None else pc.or_(neq, d)
+                        neq = neq.combine_chunks() if isinstance(neq, pa.ChunkedArray) else neq
+                        mask = pa.concat_arrays([neq, pa.array([True])])
+                    out = tbl.filter(mask).drop(["_gen"])
+                    yield from out.to_batches(max_chunksize=8192)
+
+        rdd = self.spark.sparkContext.parallelize(meta_rows, max(1, len(meta_rows)))
+        meta_df = self.spark.createDataFrame(rdd, "bucket int, files string")
+        return meta_df.mapInArrow(_merge_bucket, schema=out_schema)
+
+    def _read_merged(self, rec: dict, files: list[dict]) -> DataFrame | None:
+        """Current rows (latest per key, tombstones included). Pure base
+        snapshots read directly with zero extra work; any delta generation
+        triggers the bucket-local merge above."""
+        if not files:
+            return None
         if not any(f.get("delta") for f in files):
-            return df
-        key_cols = rec.get("key_cols", ["repo", "path"])
-        payload = F.struct(*[F.col(c) for c in df.columns])
-        return (
-            df.groupBy(*key_cols)
-            .agg(F.max_by(payload, F.col("_seq")).alias("r"))
-            .select("r.*")
-        )
+            return self._read_files(rec, files)
+        return self._bucket_local_merge(rec, files)
 
     def _read_files(self, rec: dict, files: list[dict]) -> DataFrame | None:
         """Read a set of data files, aligning every schema version to the
@@ -215,19 +308,18 @@ class LakeTable:
     def read_internal(self) -> DataFrame:
         """All rows incl. tombstones and system columns (latest per key)."""
         rec = self._current()
-        df = self._read_files(rec, rec["files"])
+        df = self._read_merged(rec, rec["files"])
         if df is None:
             return self.spark.createDataFrame([], _fields_to_struct(self.schema_fields(rec)))
-        return self._merge_generations(rec, df, rec["files"])
+        return df
 
     def read(self) -> DataFrame:
         """Public snapshot read: live rows, user columns only."""
         rec = self._current()
-        df = self._read_files(rec, rec["files"])
+        df = self._read_merged(rec, rec["files"])
         names = [f.name for f in self.schema_fields(rec)]
         if df is None:
             return self.spark.createDataFrame([], _fields_to_struct(self.schema_fields(rec), with_sys=False))
-        df = self._merge_generations(rec, df, rec["files"])
         return df.where(F.col("_op") != "D").select(*names)
 
     # -------------------------------------------------------------- writes
@@ -368,14 +460,18 @@ class LakeTable:
         bset = set(buckets)
         target = [f for f in rec["files"] if f["bucket"] in bset]
         keep = [f for f in rec["files"] if f["bucket"] not in bset]
-        df = self._read_files(rec, target)
-        if df is None:
+        merged = self._read_merged(rec, target)
+        if merged is None:
             return {"buckets_rewritten": 0, "files_written": 0}
-        merged = self._merge_generations(rec, df, target)
         merged = merged.withColumn("bkt", bucket_expr(rec["n_buckets"]))
         version = rec["version"] + 1
+        # The bucket-local merge emits one key-sorted partition per bucket —
+        # already the write layout, so compaction is shuffle-free end to end
+        # (delta generations collapse into one file per bucket).
+        pre = any(f.get("delta") for f in target)
         new_files = self._write_bucket_data(
-            merged, version, rec["schema_version"], files_per_bucket=files_per_bucket
+            merged, version, rec["schema_version"],
+            files_per_bucket=files_per_bucket, pre_partitioned=pre,
         )
         commitlog.write_commit(
             self.table_dir, {**rec, "version": version, "files": keep + new_files}
@@ -519,10 +615,9 @@ class LakeTable:
         """rewrite_data_files analogue: coalesce each bucket's files and
         collapse any delta generations."""
         rec = self._current()
-        df = self._read_files(rec, rec["files"])
+        df = self._read_merged(rec, rec["files"])
         if df is None:
             return
-        df = self._merge_generations(rec, df, rec["files"])
         df = df.withColumn("bkt", bucket_expr(rec["n_buckets"]))
         version = rec["version"] + 1
         files = self._write_bucket_data(df, version, rec["schema_version"], files_per_bucket)

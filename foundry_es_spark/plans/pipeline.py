@@ -152,44 +152,54 @@ class CdcPipeline:
         )
 
         ok = validity_expr()
+        raw_batch = batch  # un-observed plan, reused for quarantine splits
+        n_dead_prescan = 0
         if offsets_hint is not None:
             # Offsets are raw consumed stream positions (C5/C6), so footer
             # row-counts/min-max are exact regardless of validity.
             pre_rows = None
             offsets = offsets_hint["offsets"]
-            n_valid = int(offsets_hint["n_events"])  # upper bound incl. invalid
+            n_events = int(offsets_hint["n_events"])  # raw rows incl. invalid
             min_seq, max_seq = offsets_hint["min_seq"], offsets_hint["max_seq"]
         else:
             # Pre-scan (ONE light job, no shuffle beyond n_parts groups).
+            # Offsets/lineage record RAW consumed positions — the same
+            # contract as the footer path, so the `_offsets` / lineage
+            # system tables mean one thing regardless of apply path.
             pre_rows = (
                 batch.groupBy(part_col.alias("_part"))
                 .agg(
-                    F.count(F.when(ok, 1)).alias("n_valid"),
+                    F.count(F.lit(1)).alias("n_rows"),
                     F.count(F.when(~F.coalesce(ok, F.lit(False)), 1)).alias("n_dead"),
-                    F.min(F.when(ok, F.col("seq"))).alias("min_seq"),
-                    F.max(F.when(ok, F.col("seq"))).alias("max_seq"),
+                    F.min("seq").alias("min_seq"),
+                    F.max("seq").alias("max_seq"),
                 )
                 .collect()
             )
-            n_valid = sum(r["n_valid"] for r in pre_rows)
-            n_dead = int(sum(r["n_dead"] for r in pre_rows))
+            n_events = int(sum(r["n_rows"] for r in pre_rows))
+            n_dead_prescan = int(sum(r["n_dead"] for r in pre_rows))
             offsets = {
-                str(r["_part"]): {"max_seq": r["max_seq"], "n_events": r["n_valid"]}
+                str(r["_part"]): {"max_seq": r["max_seq"], "n_events": r["n_rows"]}
                 for r in pre_rows
-                if r["n_valid"]
+                if r["n_rows"]
             }
             min_seq = min((r["min_seq"] for r in pre_rows if r["min_seq"] is not None), default=None)
             max_seq = max((r["max_seq"] for r in pre_rows if r["max_seq"] is not None), default=None)
-            if n_dead:
+            if n_dead_prescan:
                 _, dead = validate_split(batch)
                 self._write_dead_letters(dead, epoch_id)
         # Footer-hint path: validity is counted by an Observation riding the
-        # main job (pre-filter), so no extra scan happens either way.
-        obs_pre = Observation()
-        batch = batch.observe(
-            obs_pre,
-            F.sum((~F.coalesce(ok, F.lit(False))).cast("int")).alias("n_dead"),
-        )
+        # main job (pre-filter), so no extra scan happens either way. Under
+        # the "winners" strategy the observed subtree executes twice
+        # (broadcast build + probe) and would double-count, so that case
+        # derives the count from the quarantine split instead (see _info).
+        use_obs = offsets_hint is not None and self.cfg.compact_strategy != "winners"
+        obs_pre = Observation() if use_obs else None
+        if use_obs:
+            batch = batch.observe(
+                obs_pre,
+                F.sum((~F.coalesce(ok, F.lit(False))).cast("int")).alias("n_dead"),
+            )
         valid = batch.where(ok)
         stage_sec["prescan"] = round(time.monotonic() - t0, 3)
 
@@ -199,14 +209,16 @@ class CdcPipeline:
         # keeps content out of the compaction shuffle via a key-only
         # aggregate + join-back; "agg" is the classic max_by groupBy.
         pre_partitioned = False
-        if self.cfg.compact_strategy == "sorted" and self.cfg.merge_mode == "mor":
+        if self.cfg.compact_strategy == "sorted":
             compacted = compact_sorted_partitions(
                 valid,
                 self.cfg.n_buckets,
                 self.cfg.files_per_bucket,
                 emit_meta=self.cfg.normalize,
             )
-            pre_partitioned = True
+            # cow's merge_upsert re-shuffles on write (it must union with
+            # the read-back target), so only mor can claim the layout.
+            pre_partitioned = self.cfg.merge_mode == "mor"
         elif self.cfg.compact_strategy == "winners":
             compacted = compact_latest_winners(valid)
         else:
@@ -239,13 +251,13 @@ class CdcPipeline:
         info = {
             "pipeline_id": self.cfg.pipeline_id,
             "epoch": int(epoch_id),
-            "n_events": int(n_valid),
-            "n_dead_letters": 0 if pre_rows is None else n_dead,
+            "n_events": int(n_events),
+            "n_dead_letters": n_dead_prescan,
             "min_seq": min_seq,
             "max_seq": max_seq,
             "offsets": offsets,
         }
-        if n_valid == 0:
+        if n_events == 0:
             # nothing to merge — still fence the epoch atomically via a
             # metadata-only commit.
             rec = table._current()
@@ -275,15 +287,36 @@ class CdcPipeline:
             F.sum((F.col("_op") == "D").cast("int")).alias("n_deletes"),
         )
 
+        info_out: dict = {}
+
         def _info() -> dict:
+            # Runs between the main write job and the commit-log write (the
+            # sink invokes it post-write, pre-commit). The S7 quarantine for
+            # the footer-hint path happens HERE so a crash after the fencing
+            # commit can never lose dead letters (the epoch would be skipped
+            # on resume and `_sys/errors/epoch=N` never written).
             vals = obs.get
-            return {
+            out = {
                 **info,
                 "n_keys": int(vals["n_keys"]),
                 "n_deletes": int(vals["n_deletes"] or 0),
                 "wall_sec": time.monotonic() - t0,
                 "stage_sec": stage_sec,
             }
+            if offsets_hint is not None:
+                if obs_pre is not None:
+                    n_dead = int(obs_pre.get["n_dead"] or 0)
+                    if n_dead:
+                        _, dead = validate_split(raw_batch)
+                        self._write_dead_letters(dead, epoch_id)
+                else:
+                    # winners strategy: Observation would double-count, so
+                    # the quarantine split itself is the source of truth.
+                    _, dead = validate_split(raw_batch)
+                    n_dead = self._write_dead_letters(dead, epoch_id)
+                out["n_dead_letters"] = n_dead
+            info_out.update(out)
+            return out
 
         if self.cfg.merge_mode == "mor":
             merge_stats = table.append_delta(
@@ -301,17 +334,7 @@ class CdcPipeline:
                 info=_info,
             )
         stage_sec["merge_write"] = round(time.monotonic() - t2, 3)
-        info = {**info, "n_keys": int(obs.get["n_keys"]), "n_deletes": int(obs.get["n_deletes"] or 0)}
-        if offsets_hint is not None:
-            # Footer-hint path never pre-scanned for validity: the pre-filter
-            # Observation says whether anything was malformed; only then run
-            # the (idempotent, post-commit) quarantine write — the rare path
-            # costs a job, the common path costs nothing.
-            n_dead = int(obs_pre.get["n_dead"] or 0)
-            if n_dead:
-                _, dead = validate_split(batch)
-                self._write_dead_letters(dead, epoch_id)
-            info = {**info, "n_dead_letters": n_dead}
+        info = {**info, **{k: info_out[k] for k in ("n_keys", "n_deletes", "n_dead_letters") if k in info_out}}
         if self.cfg.merge_mode == "mor":
             # Amortized maintenance: compact only buckets whose delta-file
             # count crossed the threshold (driver-side check, no Spark job).

@@ -452,7 +452,7 @@ def q18_json_functions(spark, sf):
 Q18_SQL = """
 SELECT event_type,
        count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """
