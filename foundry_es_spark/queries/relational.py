@@ -40,9 +40,11 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-0
 def q2_join_orders_customer(spark, sf):
     o = table(spark, sf, "orders")
     c = table(spark, sf, "customer")
-    # dim side is tiny at every SF → broadcast, no shuffle of orders
+    # no forced broadcast hint: customer is small at bench SF but grows
+    # linearly with scale — AQE + autoBroadcastJoinThreshold pick broadcast
+    # when (and only when) the dim actually fits (VERDICT r1 item 8)
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
         .where(F.col("o_totalprice") > 100000)
         .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
     )
@@ -62,9 +64,11 @@ def q3_multiway_join_revenue(spark, sf):
     c = table(spark, sf, "customer")
     n = table(spark, sf, "nation")
     r = table(spark, sf, "region")
+    # nation/region are constant-size (25/5 rows) → hint is always safe;
+    # customer scales with SF → size-based selection (AQE) decides
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")
@@ -219,7 +223,8 @@ def q9_rollup_revenue(spark, sf):
     o = table(spark, sf, "orders")
     c = table(spark, sf, "customer")
     n = table(spark, sf, "nation")
-    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+    # customer unhinted (scales with SF — AQE sizes it); nation is 25 rows
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     )
     return (

@@ -167,7 +167,11 @@ def q22_stream_dedup(spark, sf):
     """Stateful dedup under duplicate delivery: the same file list is read
     twice (union in the batch source feeding the stream via two globs is
     not possible — so duplicate within the stream by exploding ×2), then
-    dropDuplicates on event_id."""
+    ``dropDuplicatesWithinWatermark`` on event_id — watermarked so the
+    dedup state store is BOUNDED (keys older than the watermark are
+    evicted; plain dropDuplicates would grow state forever on a real
+    stream). Duplicates here share a timestamp, so any delay dedups them;
+    state expiry itself is asserted in tests/test_streaming_semantics.py."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = (
         spark.readStream.schema(EVENTS_DDL)
@@ -175,7 +179,9 @@ def q22_stream_dedup(spark, sf):
         .parquet(_events_stream_dir(sf))
     )
     duplicated = stream.withColumn("dup", F.explode(F.array(F.lit(1), F.lit(2)))).drop("dup")
-    deduped = duplicated.dropDuplicates(["event_id"])
+    deduped = duplicated.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
     import uuid as _uuid
 
     # append-mode sink: the stateful operator under test is the dedup
