@@ -132,6 +132,71 @@ def dats_normalize_meta(content: pd.Series) -> pd.DataFrame:
     return out
 
 
+# ------------------------------------- T2b: nested DATS model (SURVEY §1.1)
+
+# The DATS target schema is arrays-of-structs (identifiers[], dates[],
+# creators[]); the flat `meta` struct above covers the scalar fields, this
+# covers the nested ones. Computed with NATIVE regexp_extract_all +
+# higher-order functions — whole-stage codegen, no Python/Arrow transfer at
+# all (strictly cheaper than extending the pandas kernel, which pyarrow
+# could not do anyway: pa.compute has no extract-all).
+DATS_NESTED_TYPE = T.StructType(
+    [
+        T.StructField(
+            "identifiers",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("value", T.StringType(), True),
+                        T.StructField("scheme", T.StringType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+        T.StructField(
+            "dates",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("raw", T.StringType(), True),
+                        T.StructField("d", T.DateType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def dats_nested_expr(content_col: str | Column = "content") -> Column:
+    """The nested DATS struct: hex identifiers (scheme = sha1/sha256 by
+    length, else hex) and ISO dates, as sorted-distinct arrays of structs."""
+    c = F.col(content_col) if isinstance(content_col, str) else content_col
+    ids = F.transform(
+        F.array_sort(
+            F.array_distinct(F.expr(f"regexp_extract_all({content_col}, '\\\\b[0-9a-f]{{8,64}}\\\\b', 0)"))
+        ),
+        lambda v: F.struct(
+            v.alias("value"),
+            F.when(F.length(v) == 40, F.lit("sha1"))
+            .when(F.length(v) == 64, F.lit("sha256"))
+            .otherwise(F.lit("hex"))
+            .alias("scheme"),
+        ),
+    )
+    dates = F.transform(
+        F.array_sort(
+            F.array_distinct(
+                F.expr(f"regexp_extract_all({content_col}, '\\\\b\\\\d{{4}}-\\\\d{{2}}-\\\\d{{2}}\\\\b', 0)")
+            )
+        ),
+        lambda v: F.struct(v.alias("raw"), F.to_date(v).alias("d")),
+    )
+    return F.when(c.isNotNull(), F.struct(ids.alias("identifiers"), dates.alias("dates")))
+
+
 def with_normalized_columns(df: DataFrame, content_col: str = "content") -> DataFrame:
     """The full T1+T2+T3 enhancement applied to a change batch.
 
@@ -150,6 +215,8 @@ def with_normalized_columns(df: DataFrame, content_col: str = "content") -> Data
         # compaction strategies that already ran an Arrow pass (sorted,
         # operators/cdc.py) emit meta there; don't pay a second transfer
         out = out.withColumn("meta", F.when(c.isNotNull(), dats_normalize_meta(c)))
+    if "dats" not in df.columns:
+        out = out.withColumn("dats", dats_nested_expr(content_col))
     return out
 
 
@@ -161,4 +228,5 @@ NORMALIZED_FIELDS: list[tuple[str, str]] = [
     ("n_lines", "int"),
     ("n_chars", "bigint"),
     ("meta", DATS_META_TYPE.simpleString()),
+    ("dats", DATS_NESTED_TYPE.simpleString()),
 ]

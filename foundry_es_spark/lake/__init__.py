@@ -11,5 +11,7 @@
 """
 
 from foundry_es_spark.lake.table import LakeTable, LakeField, WIDENINGS
+from foundry_es_spark.lake.backend import TableBackend
+from foundry_es_spark.lake.iceberg import IcebergBackend
 
-__all__ = ["LakeTable", "LakeField", "WIDENINGS"]
+__all__ = ["LakeTable", "LakeField", "WIDENINGS", "TableBackend", "IcebergBackend"]

@@ -1,0 +1,243 @@
+"""IcebergBackend: the production sink (SURVEY.md §4.4 backend 1).
+
+Implements the :class:`~foundry_es_spark.lake.backend.TableBackend` protocol
+by generating real Iceberg Spark-SQL — `CREATE TABLE … USING iceberg
+PARTITIONED BY (bucket(N, repo))`, seq-conditional `MERGE INTO`,
+`ALTER TABLE` schema evolution, `rewrite_data_files` compaction — and
+executing it through ``spark.sql`` when an Iceberg catalog is on the
+classpath. In this sandbox no Iceberg runtime jar exists, so the backend
+runs in **plan mode** by default: every statement is appended to
+``self.sql_log`` and validated by golden-SQL unit tests
+(tests/test_iceberg_backend.py), which pins the exact DDL/DML a cluster
+deployment will issue.
+
+Exactly-once on Iceberg (C5): correctness does NOT depend on the fence
+being atomic with the MERGE — every WHEN MATCHED branch is additionally
+conditioned on ``s._seq > t._seq``, so re-applying an epoch is a no-op at
+the row level (the same order-conditional idempotence the local backend's
+tombstone merge uses). The fence (a ``graft.fence.<pipeline>`` table
+property, or a snapshot summary property via CommitMetadata on the JVM
+path) is the cheap skip, not the safety mechanism.
+
+MoR vs CoW maps to Iceberg table properties, not different statements:
+``write.merge.mode = merge-on-read`` makes the same MERGE INTO write
+delete-files + data-files (delta generations), ``copy-on-write`` rewrites
+touched files; ``compact_buckets`` becomes ``rewrite_data_files`` with a
+bucket-partition filter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from foundry_es_spark.lake.table import WIDENINGS, LakeField
+
+KEY_COLS = ("repo", "path")
+
+
+def _ddl(fields: list[tuple[str, str]]) -> str:
+    return ", ".join(f"{n} {t.upper()}" for n, t in fields)
+
+
+@dataclass
+class IcebergBackend:
+    """One Iceberg table addressed as `catalog.db.name`. Single-writer per
+    pipeline (Iceberg's optimistic commit handles cross-writer conflicts)."""
+
+    spark: SparkSession
+    fqtn: str
+    n_buckets: int = 16
+    merge_mode: str = "merge-on-read"  # Iceberg write.merge.mode
+    execute: bool = False              # False = plan mode (no jar locally)
+    sql_log: list[str] = field(default_factory=list)
+    # plan-mode shadow state so the protocol behaves without a catalog
+    _fields: list[LakeField] = field(default_factory=list)
+    _props: dict = field(default_factory=dict)
+
+    # ------------------------------------------------------------------ util
+
+    def _run(self, sql: str) -> None:
+        sql = " ".join(sql.split())
+        self.sql_log.append(sql)
+        if self.execute:
+            self.spark.sql(sql)
+
+    # ------------------------------------------------------------------- DDL
+
+    def create(self, fields: list[tuple[str, str]]) -> "IcebergBackend":
+        self._fields = [LakeField(i + 1, n, t) for i, (n, t) in enumerate(fields)]
+        cols = _ddl([(f.name, f.type) for f in self._fields] + [("_seq", "bigint"), ("_op", "string")])
+        self._run(
+            f"""CREATE TABLE IF NOT EXISTS {self.fqtn} ({cols})
+            USING iceberg
+            PARTITIONED BY (bucket({self.n_buckets}, repo))
+            TBLPROPERTIES (
+              'format-version' = '2',
+              'write.merge.mode' = '{self.merge_mode}',
+              'write.update.mode' = '{self.merge_mode}',
+              'write.delete.mode' = '{self.merge_mode}',
+              'write.distribution-mode' = 'hash',
+              'write.parquet.compression-codec' = 'zstd'
+            )"""
+        )
+        self._run(f"ALTER TABLE {self.fqtn} SET IDENTIFIER FIELDS {', '.join(KEY_COLS)}")
+        return self
+
+    # --------------------------------------------------------------- fencing
+
+    def _fence_key(self, pipeline_id: str) -> str:
+        return f"graft.fence.{pipeline_id}"
+
+    def properties(self) -> dict:
+        if self.execute:
+            rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.fqtn}").collect()
+            return {r["key"]: r["value"] for r in rows}
+        return dict(self._props)
+
+    def is_epoch_committed(self, pipeline_id: str, epoch_id: int) -> bool:
+        return epoch_id <= self.last_epoch(pipeline_id)
+
+    def last_epoch(self, pipeline_id: str) -> int:
+        return int(self.properties().get(self._fence_key(pipeline_id), -1))
+
+    def _advance_fence_sql(self, pipeline_id: str, epoch_id: int) -> None:
+        # Production-atomic variant: CommitMetadata.withCommitProperties
+        # around the MERGE puts this in the snapshot summary instead; the
+        # property form is the SQL-only fallback (safe because MERGE is
+        # seq-conditionally idempotent — see module docstring).
+        self._run(
+            f"ALTER TABLE {self.fqtn} SET TBLPROPERTIES "
+            f"('{self._fence_key(pipeline_id)}' = '{epoch_id}')"
+        )
+        self._props[self._fence_key(pipeline_id)] = str(epoch_id)
+
+    def fence_epoch_only(self, pipeline_id: str, epoch_id: int, info: dict | None = None) -> None:
+        self._advance_fence_sql(pipeline_id, epoch_id)
+
+    # ---------------------------------------------------------------- schema
+
+    def schema_fields(self) -> list[LakeField]:
+        return list(self._fields)
+
+    def spark_schema(self, with_sys: bool = False) -> T.StructType:
+        out = [T.StructField(f.name, f.spark_type(), f.nullable) for f in self._fields]
+        if with_sys:
+            out += [T.StructField("_seq", T.LongType(), False), T.StructField("_op", T.StringType(), False)]
+        return T.StructType(out)
+
+    def add_column(self, name: str, type_ddl: str) -> None:
+        self._run(f"ALTER TABLE {self.fqtn} ADD COLUMN {name} {type_ddl.upper()}")
+        nid = max((f.id for f in self._fields), default=0) + 1
+        self._fields.append(LakeField(nid, name, type_ddl))
+
+    def rename_column(self, old: str, new: str) -> None:
+        self._run(f"ALTER TABLE {self.fqtn} RENAME COLUMN {old} TO {new}")
+        self._fields = [
+            LakeField(f.id, new if f.name == old else f.name, f.type, f.nullable)
+            for f in self._fields
+        ]
+
+    def widen_column(self, name: str, new_type: str) -> None:
+        cur = next(f for f in self._fields if f.name == name)
+        if cur.type != new_type and (cur.type, new_type) not in WIDENINGS:
+            raise ValueError(f"illegal type change {cur.type} → {new_type}")
+        self._run(f"ALTER TABLE {self.fqtn} ALTER COLUMN {name} TYPE {new_type.upper()}")
+        self._fields = [
+            LakeField(f.id, f.name, new_type if f.name == name else f.type, f.nullable)
+            for f in self._fields
+        ]
+
+    def evolve_for_batch(self, batch_schema: T.StructType, rename_map=None) -> None:
+        """Same registry-diff policy as the local backend, emitted as
+        Iceberg ALTER statements (C7)."""
+        rename_map = rename_map or {}
+        cur = {f.name: f for f in self._fields}
+        for old, new in rename_map.items():
+            if old in cur and any(bf.name == new for bf in batch_schema.fields):
+                self.rename_column(old, new)
+                cur = {f.name: f for f in self._fields}
+        for bf in batch_schema.fields:
+            if bf.name in ("seq", "ts", "op", "part", "epoch"):
+                continue
+            ddl = bf.dataType.simpleString()
+            if bf.name not in cur:
+                self.add_column(bf.name, ddl)
+            elif cur[bf.name].type != ddl and (cur[bf.name].type, ddl) in WIDENINGS:
+                self.widen_column(bf.name, ddl)
+
+    # ---------------------------------------------------------------- writes
+
+    def merge_sql(self, source: str) -> str:
+        """The S5 statement: seq-conditional upsert with tombstone-free
+        deletes (Iceberg's MERGE deletes rows natively — no _op='D'
+        tombstone rows needed, unlike the local backend)."""
+        on = " AND ".join(f"t.{k} = s.{k}" for k in KEY_COLS)
+        cols = [f.name for f in self._fields] + ["_seq", "_op"]
+        sets = ", ".join(f"t.{c} = s.{c}" for c in cols)
+        names = ", ".join(cols)
+        vals = ", ".join(f"s.{c}" for c in cols)
+        return (
+            f"MERGE INTO {self.fqtn} t USING {source} s ON {on} "
+            f"WHEN MATCHED AND s._seq > t._seq AND s._op = 'D' THEN DELETE "
+            f"WHEN MATCHED AND s._seq > t._seq THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED AND s._op != 'D' THEN INSERT ({names}) VALUES ({vals})"
+        )
+
+    def merge_upsert(self, batch: DataFrame, fence=None, files_per_bucket: int = 1, info=None) -> dict:
+        view = "graft_merge_src"
+        if self.execute:
+            batch.createOrReplaceTempView(view)
+        self._run(self.merge_sql(view))
+        if callable(info):
+            info = info()
+        if fence:
+            self._advance_fence_sql(*fence)
+        return {"buckets_rewritten": -1, "files_written": -1, "epoch_info": info}
+
+    # On Iceberg MoR-vs-CoW is a table property; the statement is identical.
+    def append_delta(self, batch: DataFrame, fence=None, files_per_bucket: int = 1,
+                     info=None, pre_partitioned: bool = False) -> dict:
+        return self.merge_upsert(batch, fence=fence, files_per_bucket=files_per_bucket, info=info)
+
+    def overwrite_snapshot(self, df: DataFrame, fence=None) -> None:
+        if self.execute:
+            df.createOrReplaceTempView("graft_snapshot_src")
+        cols = ", ".join([f.name for f in self._fields])
+        self._run(
+            f"INSERT OVERWRITE {self.fqtn} SELECT {cols}, "
+            f"CAST(-1 AS BIGINT) AS _seq, 'I' AS _op FROM graft_snapshot_src"
+        )
+        if fence:
+            self._advance_fence_sql(*fence)
+
+    # ----------------------------------------------------------- maintenance
+
+    def bucket_delta_generations(self) -> dict[int, int]:
+        # Iceberg tracks delete-file counts per partition in its metadata
+        # tables; compaction scheduling reads `<t>.files`. Plan mode: none.
+        return {}
+
+    def compact_buckets(self, buckets: list[int], files_per_bucket: int = 1) -> dict:
+        catalog = self.fqtn.split(".")[0]
+        tbl = self.fqtn.split(".", 1)[1]
+        where = " OR ".join(f"partition.repo_bucket = {b}" for b in buckets)
+        self._run(
+            f"""CALL {catalog}.system.rewrite_data_files(
+              table => '{tbl}',
+              strategy => 'binpack',
+              where => '{where}',
+              options => map('delete-file-threshold', '1')
+            )"""
+        )
+        return {"buckets_rewritten": len(buckets), "files_written": -1}
+
+    # ---------------------------------------------------------------- reads
+
+    def read(self) -> DataFrame:
+        return self.spark.sql(f"SELECT {', '.join(f.name for f in self._fields)} FROM {self.fqtn}")
+
+    def read_internal(self) -> DataFrame:
+        return self.spark.sql(f"SELECT * FROM {self.fqtn}")

@@ -434,6 +434,19 @@ class LakeTable:
         commitlog.write_commit(self.table_dir, record)
         return stats
 
+    def fence_epoch_only(self, pipeline_id: str, epoch_id: int, info: dict | None = None) -> None:
+        """Metadata-only commit: advance the epoch fence without touching
+        data (used for empty epochs so resume still skips them)."""
+        rec = self._current()
+        record = {
+            **rec,
+            "version": rec["version"] + 1,
+            "fences": self._advance_fence(rec["fences"], pipeline_id, epoch_id),
+        }
+        if info is not None:
+            record["epoch_info"] = info
+        commitlog.write_commit(self.table_dir, record)
+
     def bucket_file_counts(self) -> dict[int, int]:
         """files per bucket (driver-side, from the commit record — no job)."""
         counts: dict[int, int] = {}

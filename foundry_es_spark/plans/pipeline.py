@@ -260,18 +260,10 @@ class CdcPipeline:
         if n_events == 0:
             # nothing to merge — still fence the epoch atomically via a
             # metadata-only commit.
-            rec = table._current()
             info = {**info, "n_keys": 0, "n_deletes": 0}
-            commitlog.write_commit(
-                table.table_dir,
-                {
-                    **rec,
-                    "version": rec["version"] + 1,
-                    "fences": table._advance_fence(
-                        rec["fences"], self.cfg.pipeline_id, epoch_id
-                    ),
-                    "epoch_info": {**info, "wall_sec": time.monotonic() - t0},
-                },
+            table.fence_epoch_only(
+                self.cfg.pipeline_id, epoch_id,
+                info={**info, "wall_sec": time.monotonic() - t0},
             )
             return {**info, "skipped": False, "buckets_rewritten": 0}
 

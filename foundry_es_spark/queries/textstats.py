@@ -175,7 +175,51 @@ def text_lang_confusion(spark, sf):
     )
 
 
+# ------------------------------------------------- nested DATS (SURVEY §1.1)
+
+
+def dats_nested_metadata(spark, sf):
+    """The nested DATS model (arrays-of-structs) on the query surface:
+    identifiers[] = sorted distinct long tokens as struct(value, n_chars)
+    — the word-soup analogue of the pipeline's hex-identifier rule
+    (functions/normalize.dats_nested_expr). Built with native
+    regexp_extract_all + higher-order functions (codegen, no UDF), then
+    exploded to scalars so the DuckDB list/struct twin hash-compares."""
+    d = table(spark, sf, "documents")
+    ids = F.transform(
+        F.array_sort(
+            F.array_distinct(F.expr("regexp_extract_all(text, '[a-z]{7,}', 0)"))
+        ),
+        lambda v: F.struct(v.alias("value"), F.length(v).cast("bigint").alias("n_chars")),
+    )
+    nested = d.select("doc_id", ids.alias("identifiers"))
+    return (
+        nested.select(
+            "doc_id",
+            F.size("identifiers").cast("bigint").alias("n_identifiers"),
+            F.explode("identifiers").alias("ident"),
+        )
+        .select(
+            "doc_id",
+            "n_identifiers",
+            F.col("ident.value").alias("ident_value"),
+            F.col("ident.n_chars").alias("ident_len"),
+        )
+    )
+
+
+DATS_NESTED_SQL = """
+WITH ids AS (
+  SELECT doc_id, list_sort(list_distinct(regexp_extract_all(text, '[a-z]{7,}'))) AS ids
+  FROM documents
+)
+SELECT doc_id, n_identifiers, v AS ident_value, CAST(length(v) AS BIGINT) AS ident_len
+FROM (SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_identifiers, unnest(ids) AS v FROM ids)
+"""
+
+
 QUERIES = {
+    "dats_nested_metadata": dats_nested_metadata,
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
@@ -184,6 +228,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dats_nested_metadata": DATS_NESTED_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_token_count": TEXT_TOKEN_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

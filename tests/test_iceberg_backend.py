@@ -1,0 +1,109 @@
+"""Golden-SQL tests for the IcebergBackend (SURVEY.md §4.4 backend 1).
+
+No Iceberg jar exists in this sandbox, so the backend runs in plan mode and
+these tests pin the EXACT statements a cluster deployment issues — create
+DDL with bucket partitioning + MoR properties, seq-conditional MERGE INTO,
+ALTER TABLE evolution, rewrite_data_files compaction — plus protocol
+conformance of both backends (the seam CdcPipeline relies on)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from foundry_es_spark.lake import IcebergBackend, LakeTable, TableBackend
+
+FIELDS = [
+    ("repo", "string"), ("path", "string"), ("commit", "string"),
+    ("lang", "string"), ("content", "string"),
+]
+
+
+@pytest.fixture()
+def be(spark):
+    return IcebergBackend(spark, "lake.db.code", n_buckets=32).create(FIELDS)
+
+
+def test_create_ddl_golden(be):
+    create, ident = be.sql_log[0], be.sql_log[1]
+    assert create == (
+        "CREATE TABLE IF NOT EXISTS lake.db.code (repo STRING, path STRING, "
+        "commit STRING, lang STRING, content STRING, _seq BIGINT, _op STRING) "
+        "USING iceberg PARTITIONED BY (bucket(32, repo)) TBLPROPERTIES ( "
+        "'format-version' = '2', 'write.merge.mode' = 'merge-on-read', "
+        "'write.update.mode' = 'merge-on-read', 'write.delete.mode' = 'merge-on-read', "
+        "'write.distribution-mode' = 'hash', "
+        "'write.parquet.compression-codec' = 'zstd' )"
+    )
+    assert ident == "ALTER TABLE lake.db.code SET IDENTIFIER FIELDS repo, path"
+
+
+def test_merge_sql_golden(be):
+    sql = be.merge_sql("src")
+    assert sql == (
+        "MERGE INTO lake.db.code t USING src s "
+        "ON t.repo = s.repo AND t.path = s.path "
+        "WHEN MATCHED AND s._seq > t._seq AND s._op = 'D' THEN DELETE "
+        "WHEN MATCHED AND s._seq > t._seq THEN UPDATE SET "
+        "t.repo = s.repo, t.path = s.path, t.commit = s.commit, t.lang = s.lang, "
+        "t.content = s.content, t._seq = s._seq, t._op = s._op "
+        "WHEN NOT MATCHED AND s._op != 'D' THEN INSERT "
+        "(repo, path, commit, lang, content, _seq, _op) VALUES "
+        "(s.repo, s.path, s.commit, s.lang, s.content, s._seq, s._op)"
+    )
+
+
+def test_evolution_statements_golden(be):
+    be.evolve_for_batch(
+        T.StructType.fromDDL("repo string, path string, commit string, lang string, "
+                             "content string, stars int"),
+    )
+    assert be.sql_log[-1] == "ALTER TABLE lake.db.code ADD COLUMN stars INT"
+    be.evolve_for_batch(
+        T.StructType.fromDDL("repo string, path string, stars bigint"),
+    )
+    assert be.sql_log[-1] == "ALTER TABLE lake.db.code ALTER COLUMN stars TYPE BIGINT"
+    be.evolve_for_batch(
+        T.StructType.fromDDL("repo string, path string, star_count bigint"),
+        rename_map={"stars": "star_count"},
+    )
+    assert "ALTER TABLE lake.db.code RENAME COLUMN stars TO star_count" in be.sql_log
+    # illegal narrowing rejected like the local backend
+    with pytest.raises(ValueError):
+        be.widen_column("star_count", "int")
+
+
+def test_fence_and_compaction_golden(be):
+    assert be.last_epoch("p1") == -1
+    be.fence_epoch_only("p1", 7)
+    assert be.sql_log[-1] == (
+        "ALTER TABLE lake.db.code SET TBLPROPERTIES ('graft.fence.p1' = '7')"
+    )
+    assert be.is_epoch_committed("p1", 7) and not be.is_epoch_committed("p1", 8)
+    be.compact_buckets([3, 9])
+    assert be.sql_log[-1] == (
+        "CALL lake.system.rewrite_data_files( table => 'db.code', "
+        "strategy => 'binpack', where => 'partition.repo_bucket = 3 OR "
+        "partition.repo_bucket = 9', "
+        "options => map('delete-file-threshold', '1') )"
+    )
+
+
+def test_merge_upsert_plan_mode_records_fence(be, spark):
+    batch = spark.createDataFrame(
+        [("r", "p", "c", "py", "x", 1, "I")],
+        "repo string, path string, commit string, lang string, content string, "
+        "_seq long, _op string",
+    )
+    be.merge_upsert(batch, fence=("p1", 0))
+    assert any(s.startswith("MERGE INTO lake.db.code") for s in be.sql_log)
+    assert be.last_epoch("p1") == 0
+
+
+def test_both_backends_satisfy_protocol(spark, tmp_path):
+    """The seam itself: CdcPipeline depends on TableBackend; both backends
+    must be structural instances of it."""
+    local = LakeTable.create(spark, str(tmp_path / "t"), FIELDS)
+    berg = IcebergBackend(spark, "lake.db.code").create(FIELDS)
+    assert isinstance(local, TableBackend)
+    assert isinstance(berg, TableBackend)

@@ -69,6 +69,31 @@ def test_normalized_columns_populated(spark, tmp_path):
     assert row.meta.n_words > 0
 
 
+def test_nested_dats_column(spark, tmp_path):
+    """SURVEY §1.1 nested model: dats.identifiers[]/dates[] arrays of
+    structs, populated from content, null on tombstone-shaped content."""
+    import re
+
+    pipe, events, _ = _replay(spark, tmp_path, n_events=600, n_keys=60)
+    row = pipe.table.read().where(F.col("content").isNotNull()).first()
+    hexes = sorted(set(re.findall(r"\b[0-9a-f]{8,64}\b", row.content)))
+    assert [i.value for i in row.dats.identifiers] == hexes
+    assert all(i.scheme in ("hex", "sha1", "sha256") for i in row.dats.identifiers)
+    # dates extraction on crafted content (fixtures carry no ISO dates)
+    from foundry_es_spark.functions.normalize import dats_nested_expr
+
+    df = spark.createDataFrame(
+        [("deadbeef00 released 2023-05-17, again 2023-05-17 and 2024-01-02",),
+         (None,)],
+        "content string",
+    ).select(dats_nested_expr("content").alias("dats"))
+    got = df.collect()
+    assert [d.raw for d in got[0].dats.dates] == ["2023-05-17", "2024-01-02"]
+    assert str(got[0].dats.dates[0].d) == "2023-05-17"
+    assert got[0].dats.identifiers[0].value == "deadbeef00"
+    assert got[1].dats is None
+
+
 def test_lineage_and_offsets(spark, tmp_path):
     pipe, events, results = _replay(spark, tmp_path, n_events=3000, n_keys=200)
     lin = pipe.lineage().toPandas()
