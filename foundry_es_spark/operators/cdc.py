@@ -109,6 +109,8 @@ def compact_sorted_partitions(
     order_col: str = "seq",
     n_salts: int | None = None,
     emit_meta: bool = False,
+    metrics_acc=None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """C1+C2 physical strategy "sorted": ONE payload shuffle, straight to
     the sink's write layout.
@@ -139,9 +141,20 @@ def compact_sorted_partitions(
     events = events.withColumn("bkt", bucket_expr(n_buckets)).withColumn(
         "_salt", F.pmod(F.xxhash64(key_cols[-1]), F.lit(max(1, n_salts)))
     )
-    parted = events.repartition(F.col("bkt"), F.col("_salt")).sortWithinPartitions(
-        *key_cols, order_col
-    )
+    # EXPLICIT partition count. `repartition(cols)` without a count is an
+    # AQE-coalescible exchange: at small batch sizes AQE collapses the
+    # whole (bkt, salt) grid into ONE task (observed in tests), which
+    # defeats the salting and caps the stage at one core. An explicit
+    # count pins the layout: every (bkt, salt) combo still lands wholly in
+    # one partition for any N (hash of the combo), so dedup correctness is
+    # independent of N — N only sets compute parallelism. Callers size N
+    # from the batch's row count (pipeline: rows / rows_per_task, clamped
+    # to the grid) so tiny epochs don't pay the full grid's task overhead.
+    grid = n_buckets * max(1, n_salts)
+    n_parts = min(grid, num_partitions) if num_partitions else grid
+    parted = events.repartition(
+        max(1, n_parts), F.col("bkt"), F.col("_salt")
+    ).sortWithinPartitions(*key_cols, order_col)
     kc = list(key_cols)
 
     out_fields = list(parted.schema.fields)
@@ -158,16 +171,34 @@ def compact_sorted_partitions(
     def _dedup_gen(batches):
         """Whole partition in Arrow: boundary-compare dedup on the sorted
         key runs, then (optionally) the DATS meta struct — zero pandas
-        conversion, RE2-backed kernels, no per-row Python."""
+        conversion, RE2-backed kernels, no per-row Python. When a metrics
+        accumulator is supplied, the partition reports (rows, seconds) for
+        the straggler assertion (operators/metrics.py) — consuming the
+        input iterator is inside the window, so shuffle fetch counts."""
+        import time as _time
+
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        _t0 = _time.monotonic()
+
+        def _report(n_rows):
+            if metrics_acc is not None:
+                from pyspark import TaskContext
+
+                pid = TaskContext.get().partitionId()
+                metrics_acc.add(
+                    {pid: {"rows": int(n_rows), "sec": _time.monotonic() - _t0}}
+                )
+
         batches = list(batches)
         if not batches:
+            _report(0)
             return
         tbl = pa.Table.from_batches(batches).combine_chunks()
         n = tbl.num_rows
         if n == 0:
+            _report(0)
             return
         if n == 1:
             mask = pa.array([True])
@@ -186,6 +217,7 @@ def compact_sorted_partitions(
 
             out = out.append_column("meta", dats_meta_arrow(out.column("content")))
         yield from out.to_batches(max_chunksize=8192)
+        _report(n)
 
     return parted.mapInArrow(_dedup_gen, schema=out_schema).drop("_salt")
 

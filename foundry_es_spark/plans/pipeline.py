@@ -101,6 +101,10 @@ class PipelineConfig:
     compact_strategy: str = "sorted" # "sorted" (one shuffle straight to write layout, pandas dedup)
                                      # | "winners" (key-only shuffle + payload join-back)
                                      # | "agg" (max_by full shuffle)
+    record_partition_metrics: bool = False  # §5.2 straggler evidence in lineage (sorted strategy)
+    compact_rows_per_task: int = 50_000  # sorted strategy: target rows per compaction task
+                                         # (sets explicit partition count = rows/target,
+                                         # clamped to the (bucket x salt) grid)
 
 
 class CdcPipeline:
@@ -209,12 +213,21 @@ class CdcPipeline:
         # keeps content out of the compaction shuffle via a key-only
         # aggregate + join-back; "agg" is the classic max_by groupBy.
         pre_partitioned = False
+        part_acc = None
         if self.cfg.compact_strategy == "sorted":
+            if self.cfg.record_partition_metrics:
+                from foundry_es_spark.operators.metrics import partition_metrics_acc
+
+                part_acc = partition_metrics_acc(self.spark)
             compacted = compact_sorted_partitions(
                 valid,
                 self.cfg.n_buckets,
                 self.cfg.files_per_bucket,
                 emit_meta=self.cfg.normalize,
+                metrics_acc=part_acc,
+                num_partitions=max(
+                    1, -(-n_events // max(1, self.cfg.compact_rows_per_task))
+                ),
             )
             # cow's merge_upsert re-shuffles on write (it must union with
             # the read-back target), so only mor can claim the layout.
@@ -295,6 +308,10 @@ class CdcPipeline:
                 "wall_sec": time.monotonic() - t0,
                 "stage_sec": stage_sec,
             }
+            if part_acc is not None:
+                from foundry_es_spark.operators.metrics import summarize_partitions
+
+                out["partition_metrics"] = summarize_partitions(part_acc.value)
             if offsets_hint is not None:
                 if obs_pre is not None:
                     n_dead = int(obs_pre.get["n_dead"] or 0)

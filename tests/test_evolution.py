@@ -125,7 +125,10 @@ def test_evolution_interacts_with_resume(spark, tmp_path):
 
 def test_skew_replay_with_salting(spark, tmp_path):
     """Skew knob: one repo holds 90% of events; salted compaction + multi-
-    file hot buckets still produce oracle-exact state (C4)."""
+    file hot buckets still produce oracle-exact state (C4), AND no
+    compaction partition straggles (SURVEY §5.2: max task duration must
+    stay within 4x the median over loaded partitions — the per-partition
+    evidence rides in the epoch's lineage record)."""
     from foundry_es_spark.fixtures import gen_change_events
     from foundry_es_spark.oracle import fold_events
 
@@ -141,9 +144,27 @@ def test_skew_replay_with_salting(spark, tmp_path):
             table_dir=str(tmp_path / "table"),
             salt_partitions=8,
             files_per_bucket=4,
+            record_partition_metrics=True,
+            # small epochs: force a real multi-task grid (1000-row epochs /
+            # 100 rows-per-task = 10 partitions) so the straggler ratio is
+            # measured across genuinely parallel tasks
+            compact_rows_per_task=100,
         ),
     )
     pipe.replay_event_dir(ev_dir)
+
+    # §5.2 straggler assertion: with the hot repo salted over
+    # files_per_bucket partitions, the slowest compaction task must stay
+    # within 4x the median loaded-partition duration. Sub-half-second
+    # maxima are scheduling noise by definition, not stragglers.
+    infos = [i for i in pipe._epoch_infos() if i.get("partition_metrics")]
+    assert infos, "partition metrics missing from lineage"
+    for info in infos:
+        pm = info["partition_metrics"]
+        assert pm["n_partitions"] > 1
+        assert (
+            pm["max_sec"] <= max(4 * pm["median_sec"], 0.5)
+        ), f"straggler partition: {pm}"
     expected = fold_events(events.toPandas())
     got = (
         pipe.table.read()
