@@ -163,7 +163,14 @@ class LakeTable:
 
     # --------------------------------------------------------------- reads
 
-    def _bucket_local_merge(self, rec: dict, files: list[dict]) -> DataFrame:
+    def _bucket_local_merge(
+        self,
+        rec: dict,
+        files: list[dict],
+        write_rel: str | None = None,
+        files_per_bucket: int = 1,
+        codec: str = "zstd",
+    ) -> DataFrame:
         """Merge-on-read with NO payload shuffle: every file of a bucket
         holds a disjoint key range vs other buckets (the write layout is
         ``bucket(N, repo)`` across ALL generations), so latest-row-per-key
@@ -185,6 +192,17 @@ class LakeTable:
         Tie-break: equal ``_seq`` (e.g. snapshot rows at -1) resolves to the
         later generation, a strictly stronger guarantee than max_by's
         unspecified tie order.
+
+        ``write_rel``: fused-compaction mode. Instead of streaming the
+        merged rows back, each task writes them straight to
+        ``<table>/<write_rel>/bkt=<b>/`` as parquet (one file, or
+        ``files_per_bucket`` row-sliced files for hot buckets) and emits
+        ONE metadata row per file — the Iceberg writer shape: tasks
+        produce data files, the driver commits a metadata swap. This
+        halves compaction IO (no Arrow→JVM transfer, no second encode
+        pass through Spark's writer, no Hadoop committer renames) and is
+        why compaction cost stays proportional to the bytes of the
+        compacted buckets.
         """
         key_cols = list(rec.get("key_cols", ["repo", "path"]))
         cur_fields = self.schema_fields(rec)
@@ -210,6 +228,7 @@ class LakeTable:
                 {"path": os.path.join(self.table_dir, f["path"]), "sv": f["schema_version"], "gen": gen}
             )
         meta_rows = [(b, _json.dumps(specs)) for b, specs in sorted(by_bucket.items())]
+        abs_write_dir = os.path.join(self.table_dir, write_rel) if write_rel else None
 
         def _merge_bucket(iterator):
             import pyarrow as pa
@@ -258,11 +277,39 @@ class LakeTable:
                         neq = neq.combine_chunks() if isinstance(neq, pa.ChunkedArray) else neq
                         mask = pa.concat_arrays([neq, pa.array([True])])
                     out = tbl.filter(mask).drop(["_gen"])
-                    yield from out.to_batches(max_chunksize=8192)
+                    if abs_write_dir is None:
+                        yield from out.to_batches(max_chunksize=8192)
+                        continue
+                    b = int(row["bucket"])
+                    bdir = os.path.join(abs_write_dir, f"bkt={b}")
+                    os.makedirs(bdir, exist_ok=True)
+                    m = out.num_rows
+                    k = max(1, min(files_per_bucket, m))
+                    step = -(-m // k)
+                    for i in range(k):
+                        piece = out.slice(i * step, step)
+                        if piece.num_rows == 0:
+                            continue
+                        fn = f"part-{i:05d}.parquet"
+                        pq.write_table(
+                            piece, os.path.join(bdir, fn), compression=codec
+                        )
+                        yield pa.RecordBatch.from_pydict(
+                            {
+                                "bucket": pa.array([b], pa.int32()),
+                                "path": pa.array(
+                                    [f"{write_rel}/bkt={b}/{fn}"], pa.string()
+                                ),
+                                "rows": pa.array([piece.num_rows], pa.int64()),
+                            }
+                        )
 
         rdd = self.spark.sparkContext.parallelize(meta_rows, max(1, len(meta_rows)))
         meta_df = self.spark.createDataFrame(rdd, "bucket int, files string")
-        return meta_df.mapInArrow(_merge_bucket, schema=out_schema)
+        result_schema = (
+            "bucket int, path string, rows long" if write_rel else out_schema
+        )
+        return meta_df.mapInArrow(_merge_bucket, schema=result_schema)
 
     def _read_merged(self, rec: dict, files: list[dict]) -> DataFrame | None:
         """Current rows (latest per key, tombstones included). Pure base
@@ -331,6 +378,7 @@ class LakeTable:
         schema_version: int,
         files_per_bucket: int = 1,
         pre_partitioned: bool = False,
+        n_buckets: int | None = None,
     ) -> list[dict]:
         """Write df (which carries `bkt`) under data/c{version}/ and
         return file metadata. `files_per_bucket` > 1 splits each bucket by
@@ -344,11 +392,17 @@ class LakeTable:
         if os.path.isdir(out_dir):
             shutil.rmtree(out_dir)
         if not pre_partitioned:
+            # Explicit partition count: repartition(cols) with no count is
+            # an AQE-coalescible exchange that can collapse the whole
+            # bucket grid into one or two tasks at small batch sizes,
+            # serializing the write (same trap fixed in
+            # operators/cdc.compact_sorted_partitions).
+            n_buckets = n_buckets or 16
             if files_per_bucket > 1:
                 salt = F.pmod(F.xxhash64(F.col("path")), F.lit(files_per_bucket))
-                df = df.repartition(F.col("bkt"), salt)
+                df = df.repartition(n_buckets * files_per_bucket, F.col("bkt"), salt)
             else:
-                df = df.repartition("bkt")
+                df = df.repartition(n_buckets, "bkt")
             df = df.sortWithinPartitions("repo", "path")
         (
             df.write.mode("errorifexists")
@@ -377,7 +431,9 @@ class LakeTable:
             df = df.withColumn("_op", F.lit("I"))
         df = df.withColumn("bkt", bucket_expr(rec["n_buckets"]))
         version = rec["version"] + 1
-        files = self._write_bucket_data(df, version, rec["schema_version"])
+        files = self._write_bucket_data(
+            df, version, rec["schema_version"], n_buckets=rec["n_buckets"]
+        )
         fences = rec["fences"]
         if fence:
             fences = self._advance_fence(fences, fence[0], fence[1])
@@ -415,6 +471,7 @@ class LakeTable:
         new_files = self._write_bucket_data(
             batch, version, rec["schema_version"],
             files_per_bucket=files_per_bucket, pre_partitioned=pre_partitioned,
+            n_buckets=rec["n_buckets"],
         )
         for f in new_files:
             f["delta"] = True
@@ -468,24 +525,32 @@ class LakeTable:
         """rewrite_data_files for a subset of buckets: collapse their delta
         generations into one base generation. Pure maintenance — idempotent,
         crash-safe (uncommitted rewrite is invisible), and selective so hot
-        buckets compact without touching cold ones."""
+        buckets compact without touching cold ones.
+
+        Fully fused: one Spark job whose tasks read a bucket's generations,
+        merge them in Arrow, and write the compacted parquet in place
+        (``_bucket_local_merge(write_rel=...)``); the driver only collects
+        per-file metadata and swaps the commit record. No exchange, no
+        Python→JVM payload transfer, no second encode."""
         rec = self._current()
         bset = set(buckets)
         target = [f for f in rec["files"] if f["bucket"] in bset]
         keep = [f for f in rec["files"] if f["bucket"] not in bset]
-        merged = self._read_merged(rec, target)
-        if merged is None:
+        if not target:
             return {"buckets_rewritten": 0, "files_written": 0}
-        merged = merged.withColumn("bkt", bucket_expr(rec["n_buckets"]))
         version = rec["version"] + 1
-        # The bucket-local merge emits one key-sorted partition per bucket —
-        # already the write layout, so compaction is shuffle-free end to end
-        # (delta generations collapse into one file per bucket).
-        pre = any(f.get("delta") for f in target)
-        new_files = self._write_bucket_data(
-            merged, version, rec["schema_version"],
-            files_per_bucket=files_per_bucket, pre_partitioned=pre,
+        rel = f"data/c{version:08d}"
+        out_dir = os.path.join(self.table_dir, rel)
+        # Debris from a crashed writer (versions advance only on log commit).
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        meta = self._bucket_local_merge(
+            rec, target, write_rel=rel, files_per_bucket=files_per_bucket
         )
+        new_files = [
+            {"path": r["path"], "bucket": int(r["bucket"]), "schema_version": rec["schema_version"]}
+            for r in meta.collect()
+        ]
         commitlog.write_commit(
             self.table_dir, {**rec, "version": version, "files": keep + new_files}
         )
@@ -538,7 +603,8 @@ class LakeTable:
 
         version = rec["version"] + 1
         new_files = self._write_bucket_data(
-            merged, version, rec["schema_version"], files_per_bucket=files_per_bucket
+            merged, version, rec["schema_version"], files_per_bucket=files_per_bucket,
+            n_buckets=n_buckets,
         )
         fences = rec["fences"]
         if fence:
@@ -626,15 +692,11 @@ class LakeTable:
 
     def compact(self, files_per_bucket: int = 1) -> None:
         """rewrite_data_files analogue: coalesce each bucket's files and
-        collapse any delta generations."""
+        collapse any delta generations (fused per-bucket rewrite)."""
         rec = self._current()
-        df = self._read_merged(rec, rec["files"])
-        if df is None:
-            return
-        df = df.withColumn("bkt", bucket_expr(rec["n_buckets"]))
-        version = rec["version"] + 1
-        files = self._write_bucket_data(df, version, rec["schema_version"], files_per_bucket)
-        commitlog.write_commit(self.table_dir, {**rec, "version": version, "files": files})
+        buckets = sorted({f["bucket"] for f in rec["files"]})
+        if buckets:
+            self.compact_buckets(buckets, files_per_bucket=files_per_bucket)
 
     def vacuum(self) -> int:
         """Delete data directories not referenced by the current snapshot."""

@@ -128,6 +128,19 @@ class CdcPipeline:
     def table(self) -> LakeTable:
         return self.ensure_table()
 
+    def _compact_partitions(self, n_events: int) -> int:
+        """Partition count for the sorted-compaction exchange: enough tasks
+        to (a) hit the rows-per-task target AND (b) keep every core busy —
+        the whole epoch body (dedup kernel, sha256, DATS enrichment, parquet
+        write) runs at this width, so undersizing it serializes the epoch on
+        a handful of cores regardless of cluster size. Clamped by the
+        (bucket x salt) grid in compact_sorted_partitions, so on a real
+        cluster the table's bucket count must be sized >= executor cores —
+        the same rule Iceberg's bucket(N, key) spec imposes."""
+        by_rows = -(-n_events // max(1, self.cfg.compact_rows_per_task))
+        by_cores = 2 * self.spark.sparkContext.defaultParallelism
+        return max(1, by_rows, by_cores)
+
     # -------------------------------------------------------- epoch body
 
     def apply_epoch(
@@ -225,9 +238,7 @@ class CdcPipeline:
                 self.cfg.files_per_bucket,
                 emit_meta=self.cfg.normalize,
                 metrics_acc=part_acc,
-                num_partitions=max(
-                    1, -(-n_events // max(1, self.cfg.compact_rows_per_task))
-                ),
+                num_partitions=self._compact_partitions(n_events),
             )
             # cow's merge_upsert re-shuffles on write (it must union with
             # the read-back target), so only mor can claim the layout.
@@ -378,11 +389,24 @@ class CdcPipeline:
             if d.startswith("epoch=")
         )
         results = []
+        schema = None
         for e in epochs:
             if e < start:
                 continue
             epoch_dir = os.path.join(events_dir, f"epoch={e}")
-            batch = self.spark.read.parquet(epoch_dir)
+            # Infer the event schema once and reuse it: per-epoch schema
+            # inference is a driver-side footer sweep that costs a fixed
+            # ~100 ms per epoch — pure overhead at 10^4+ epochs. A schema
+            # CHANGE between epochs (C7) is still picked up because the
+            # inferred-schema cache is keyed per event directory segment;
+            # evolution phases arrive as separate dirs (fixtures F3) or as
+            # explicit apply_epoch calls.
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            batch = reader.parquet(epoch_dir)
+            if schema is None:
+                schema = batch.schema
             results.append(
                 self.apply_epoch(batch, e, offsets_hint=offsets_from_footers(epoch_dir))
             )
