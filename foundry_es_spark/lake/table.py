@@ -170,6 +170,7 @@ class LakeTable:
         write_rel: str | None = None,
         files_per_bucket: int = 1,
         codec: str = "zstd",
+        filter_repos: list[str] | None = None,
     ) -> DataFrame:
         """Merge-on-read with NO payload shuffle: every file of a bucket
         holds a disjoint key range vs other buckets (the write layout is
@@ -240,7 +241,17 @@ class LakeTable:
                     specs = _json.loads(row["files"])
                     parts = []
                     for spec in specs:
-                        t = pq.read_table(spec["path"])
+                        # Selective lookups push the repo predicate into the
+                        # parquet read: files are key-sorted, so min/max row-
+                        # group stats skip everything but the target repos.
+                        t = pq.read_table(
+                            spec["path"],
+                            filters=(
+                                [("repo", "in", filter_repos)]
+                                if filter_repos
+                                else None
+                            ),
+                        )
                         cols, names = [], []
                         for i, name in enumerate(cur_names):
                             src = proj[spec["sv"]][i]
@@ -311,15 +322,19 @@ class LakeTable:
         )
         return meta_df.mapInArrow(_merge_bucket, schema=result_schema)
 
-    def _read_merged(self, rec: dict, files: list[dict]) -> DataFrame | None:
+    def _read_merged(
+        self, rec: dict, files: list[dict], filter_repos: list[str] | None = None
+    ) -> DataFrame | None:
         """Current rows (latest per key, tombstones included). Pure base
-        snapshots read directly with zero extra work; any delta generation
-        triggers the bucket-local merge above."""
+        snapshots read directly with zero extra work (Spark pushes any
+        caller predicate into the scan); any delta generation triggers the
+        bucket-local merge above, with `filter_repos` pushed into the
+        pyarrow reads."""
         if not files:
             return None
         if not any(f.get("delta") for f in files):
             return self._read_files(rec, files)
-        return self._bucket_local_merge(rec, files)
+        return self._bucket_local_merge(rec, files, filter_repos=filter_repos)
 
     def _read_files(self, rec: dict, files: list[dict]) -> DataFrame | None:
         """Read a set of data files, aligning every schema version to the
@@ -352,21 +367,50 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
-    def read_internal(self) -> DataFrame:
-        """All rows incl. tombstones and system columns (latest per key)."""
+    def _buckets_for_repos(self, repos: list[str], n_buckets: int) -> set[int]:
+        """Bucket ids for a set of repo keys, computed with the SAME hash
+        Spark uses for the write layout (a tiny literal-frame job — the
+        driver cannot replicate Spark's xxhash64 seed natively, and a few
+        hundred literals is a millisecond task)."""
+        df = self.spark.createDataFrame([(r,) for r in repos], "repo string")
+        return {row[0] for row in df.select(bucket_expr(n_buckets)).collect()}
+
+    def _pruned_files(self, rec: dict, repos: list[str] | None) -> list[dict]:
+        """Bucket-prune the live file list for a selective key lookup —
+        the local analogue of Iceberg partition pruning on bucket(N, repo):
+        a k-repo lookup touches at most k of N buckets' files, not the
+        table. Within the surviving files, the repo predicate then prunes
+        row groups via parquet min/max stats (files are key-sorted)."""
+        files = rec["files"]
+        if not repos:
+            return files
+        bkts = self._buckets_for_repos(repos, rec["n_buckets"])
+        return [f for f in files if f["bucket"] in bkts]
+
+    def read_internal(self, repos: list[str] | None = None) -> DataFrame:
+        """All rows incl. tombstones and system columns (latest per key).
+        `repos` prunes to the named repos' buckets before any file is
+        opened."""
         rec = self._current()
-        df = self._read_merged(rec, rec["files"])
+        df = self._read_merged(rec, self._pruned_files(rec, repos), filter_repos=repos)
         if df is None:
             return self.spark.createDataFrame([], _fields_to_struct(self.schema_fields(rec)))
+        if repos:
+            df = df.where(F.col("repo").isin(list(repos)))
         return df
 
-    def read(self) -> DataFrame:
-        """Public snapshot read: live rows, user columns only."""
+    def read(self, repos: list[str] | None = None) -> DataFrame:
+        """Public snapshot read: live rows, user columns only. `repos`
+        makes this a selective lookup: only the matching buckets' files are
+        read (see :meth:`_pruned_files`) — the "queryable serving copy"
+        path for point/targeted queries that must not scan the table."""
         rec = self._current()
-        df = self._read_merged(rec, rec["files"])
+        df = self._read_merged(rec, self._pruned_files(rec, repos), filter_repos=repos)
         names = [f.name for f in self.schema_fields(rec)]
         if df is None:
             return self.spark.createDataFrame([], _fields_to_struct(self.schema_fields(rec), with_sys=False))
+        if repos:
+            df = df.where(F.col("repo").isin(list(repos)))
         return df.where(F.col("_op") != "D").select(*names)
 
     # -------------------------------------------------------------- writes

@@ -102,6 +102,40 @@ def test_merge_rewrites_only_affected_buckets(spark, tmp_table):
     assert t.read().count() == 64
 
 
+def test_selective_read_prunes_buckets(spark, tmp_table):
+    """read(repos=...) is a bucket-pruned lookup: only the target repos'
+    buckets' files are opened (driver-side file-list pruning), results are
+    identical to a full read filtered — including through live delta
+    generations and a schema add."""
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=8)
+    base = _batch(
+        spark,
+        [(f"r{i}", f"p{j}", "c0", "py", f"v{i}.{j}", i * 10 + j, "I")
+         for i in range(16) for j in range(3)],
+    )
+    t.merge_upsert(base)
+    # live deltas on top (MoR path) + one delete
+    t.append_delta(_batch(spark, [("r3", "p0", "c1", "py", "w3", 1000, "U"),
+                                  ("r5", "p1", None, None, None, 1001, "D")]))
+    t.add_column("n_stars", "int")
+
+    rec = t._current()
+    pruned = t._pruned_files(rec, ["r3", "r5"])
+    assert 0 < len(pruned) < len(rec["files"]), "bucket pruning must drop files"
+
+    got = {(r.repo, r.path, r.content) for r in t.read(repos=["r3", "r5"]).collect()}
+    want = {
+        (r.repo, r.path, r.content)
+        for r in t.read().where(F.col("repo").isin("r3", "r5")).collect()
+    }
+    assert got == want
+    assert ("r3", "p0", "w3") in got
+    assert not any(r == "r5" and p == "p1" for r, p, _ in got)
+    # internal read honors the same pruning and keeps the tombstone
+    internal = t.read_internal(repos=["r5"])
+    assert internal.where(F.col("_op") == "D").count() == 1
+
+
 def test_compact_and_vacuum(spark, tmp_table):
     t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=4)
     for i in range(3):
