@@ -535,6 +535,62 @@ class LakeTable:
         commitlog.write_commit(self.table_dir, record)
         return stats
 
+    def begin_delta_version(self) -> tuple[int, str]:
+        """Reserve the next version's data directory for a fused task-write
+        (operators.cdc sink_spec). Clears crashed-writer debris; the commit
+        happens in :meth:`commit_delta_files` after the write job. Single-
+        writer contract: no other commit may interleave (enforced at
+        commit)."""
+        rec = self._current()
+        version = rec["version"] + 1
+        rel = f"data/c{version:08d}"
+        out_dir = os.path.join(self.table_dir, rel)
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        return version, rel
+
+    def commit_delta_files(
+        self,
+        version: int,
+        files: list[dict],
+        fence: tuple[str, int] | None = None,
+        info: dict | None = None,
+    ) -> dict:
+        """Publish task-written delta files (fused sink) as one atomic
+        commit — data files were already written under the reserved
+        version dir; this is the driver-side metadata swap (the Iceberg
+        commit shape). `files`: [{"path", "bucket"}] relative paths."""
+        rec = self._current()
+        if rec["version"] + 1 != version:
+            raise commitlog.CommitConflict(
+                f"reserved version {version} but table is at {rec['version']}"
+            )
+        new_files = [
+            {
+                "path": f["path"],
+                "bucket": int(f["bucket"]),
+                "schema_version": rec["schema_version"],
+                "delta": True,
+            }
+            for f in files
+        ]
+        fences = rec["fences"]
+        if fence:
+            fences = self._advance_fence(fences, fence[0], fence[1])
+        stats = {
+            "version": version,
+            "buckets_rewritten": 0,
+            "files_written": len(new_files),
+        }
+        record = {**rec, "version": version, "files": rec["files"] + new_files, "fences": fences}
+        if info is not None:
+            if callable(info):
+                info = info()
+            record["epoch_info"] = {**info, **stats}
+        commitlog.write_commit(self.table_dir, record)
+        return stats
+
     def fence_epoch_only(self, pipeline_id: str, epoch_id: int, info: dict | None = None) -> None:
         """Metadata-only commit: advance the epoch fence without touching
         data (used for empty epochs so resume still skips them)."""

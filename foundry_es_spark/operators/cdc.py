@@ -111,6 +111,7 @@ def compact_sorted_partitions(
     emit_meta: bool = False,
     metrics_acc=None,
     num_partitions: int | None = None,
+    sink_spec: dict | None = None,
 ) -> DataFrame:
     """C1+C2 physical strategy "sorted": ONE payload shuffle, straight to
     the sink's write layout.
@@ -127,6 +128,20 @@ def compact_sorted_partitions(
     epoch_bytes / (n_buckets * files_per_bucket), bounded by choosing
     bucket counts for the target epoch size (the same sizing rule any
     hash-partitioned sink needs).
+
+    ``sink_spec`` — fused-sink mode (``{"abs_dir", "rel", "codec"}``):
+    instead of streaming deduped rows back to the JVM, each task writes
+    them straight to ``abs_dir/bkt=<b>/part-<pid>.parquet`` (one file per
+    bucket it holds, key-sorted) and the returned DataFrame carries ONE
+    metadata row per file ``(bucket, path, rows, deletes)``. This is the
+    Iceberg task-writer shape: the epoch's only job ends at the data
+    files; the caller commits the collected metadata. It removes the
+    Python→JVM payload transfer, the JVM parquet encode, and the
+    rename-based output committer from the epoch hot path (on object
+    stores the committer's renames are copies — this path has none).
+    Caller must pre-project rows to the final table schema (+ the
+    ``order_col`` and ``_op`` system columns) because no JVM projection
+    runs afterwards.
     """
     key_cols = key_cols or KEY_COLS
     from foundry_es_spark.lake.table import bucket_expr
@@ -167,6 +182,7 @@ def compact_sorted_partitions(
         out_schema = T.StructType(out_fields)
     else:
         out_schema = parted.schema
+    op_col = "_op" if "_op" in parted.columns else ("op" if "op" in parted.columns else None)
 
     def _dedup_gen(batches):
         """Whole partition in Arrow: boundary-compare dedup on the sorted
@@ -216,9 +232,55 @@ def compact_sorted_partitions(
             from foundry_es_spark.functions.normalize import dats_meta_arrow
 
             out = out.append_column("meta", dats_meta_arrow(out.column("content")))
-        yield from out.to_batches(max_chunksize=8192)
+        if sink_spec is None:
+            yield from out.to_batches(max_chunksize=8192)
+            _report(n)
+            return
+        # Fused sink: write this task's rows per bucket, emit metadata.
+        import os as _os
+
+        import pyarrow.parquet as _pq
+        from pyspark import TaskContext as _TC
+
+        pid = _TC.get().partitionId()
+        bkt_vals = out.column("bkt")
+        data = out.drop(["bkt"] + (["_salt"] if "_salt" in out.column_names else []))
+        for b in pc.unique(bkt_vals).to_pylist():
+            piece = data.filter(pc.equal(bkt_vals, b))
+            if piece.num_rows == 0:
+                continue
+            bdir = _os.path.join(sink_spec["abs_dir"], f"bkt={int(b)}")
+            _os.makedirs(bdir, exist_ok=True)
+            fn = f"part-{pid:05d}.parquet"
+            _pq.write_table(
+                piece,
+                _os.path.join(bdir, fn),
+                compression=sink_spec.get("codec", "zstd"),
+            )
+            deletes = (
+                pc.sum(
+                    pc.equal(piece.column(op_col), "D").cast(pa.int64())
+                ).as_py()
+                or 0
+                if op_col
+                else 0
+            )
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "bucket": pa.array([int(b)], pa.int32()),
+                    "path": pa.array(
+                        [f"{sink_spec['rel']}/bkt={int(b)}/{fn}"], pa.string()
+                    ),
+                    "rows": pa.array([piece.num_rows], pa.int64()),
+                    "deletes": pa.array([int(deletes)], pa.int64()),
+                }
+            )
         _report(n)
 
+    if sink_spec is not None:
+        return parted.mapInArrow(
+            _dedup_gen, schema="bucket int, path string, rows long, deletes long"
+        )
     return parted.mapInArrow(_dedup_gen, schema=out_schema).drop("_salt")
 
 

