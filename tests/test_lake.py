@@ -136,6 +136,55 @@ def test_selective_read_prunes_buckets(spark, tmp_table):
     assert internal.where(F.col("_op") == "D").count() == 1
 
 
+def test_time_travel_and_change_feed(spark, tmp_table):
+    """read_at_version reproduces historical state; table_changes yields
+    the per-commit change rows (MoR delta files) projected to the current
+    schema, and compaction — a physical rewrite — adds nothing to the
+    feed."""
+    from foundry_es_spark.lake import log as commitlog
+
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=4)
+    t.append_delta(_batch(spark, [("r1", "a", "c0", "py", "v0", 0, "I"),
+                                  ("r2", "b", "c0", "py", "x0", 1, "I")]))
+    v1 = commitlog.current_version(tmp_table)
+    t.append_delta(_batch(spark, [("r1", "a", "c1", "py", "v1", 2, "U"),
+                                  ("r2", "b", None, None, None, 3, "D")]))
+
+    # time travel: both rows live at v1; only r1/a live now
+    at1 = {(r.repo, r.content) for r in t.read_at_version(v1).collect()}
+    assert at1 == {("r1", "v0"), ("r2", "x0")}
+    assert {(r.repo, r.content) for r in t.read().collect()} == {("r1", "v1")}
+
+    # change feed: all four change rows, ops and commit versions intact
+    feed = t.table_changes().collect()
+    assert len(feed) == 4
+    assert {(r.repo, r.path, r._op, r._commit_version) for r in feed} == {
+        ("r1", "a", "I", v1), ("r2", "b", "I", v1),
+        ("r1", "a", "U", v1 + 1), ("r2", "b", "D", v1 + 1),
+    }
+    # bounded feed
+    assert len(t.table_changes(from_version=v1 + 1).collect()) == 2
+
+    # schema evolution mid-feed: old rows project null through field ids
+    t.add_column("n_stars", "int")
+    b3 = spark.createDataFrame(
+        [("r3", "c", "c0", "py", "z0", 10, 7, "I")],
+        "repo string, path string, commit string, lang string, content string, "
+        "n_stars int, _seq long, _op string",
+    )
+    t.append_delta(b3.select("repo", "path", "commit", "lang", "content",
+                             "n_stars", "_seq", "_op"))
+    feed2 = t.table_changes()
+    assert "n_stars" in feed2.columns
+    stars = {r.repo: r.n_stars for r in feed2.collect()}
+    assert stars["r3"] == 10 and stars["r1"] is None
+
+    # compaction is invisible to the feed (physical, not logical)
+    n_before = t.table_changes().count()
+    t.compact()
+    assert t.table_changes().count() == n_before
+
+
 def test_compact_and_vacuum(spark, tmp_table):
     t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=4)
     for i in range(3):
