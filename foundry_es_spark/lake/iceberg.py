@@ -241,3 +241,45 @@ class IcebergBackend:
 
     def read_internal(self) -> DataFrame:
         return self.spark.sql(f"SELECT * FROM {self.fqtn}")
+
+    def read_at_version_sql(self, snapshot_or_ts) -> str:
+        """Time travel — the Iceberg twin of LakeTable.read_at_version:
+        `VERSION AS OF <snapshot-id>` (or `TIMESTAMP AS OF` for a str)."""
+        cols = ", ".join(f.name for f in self._fields)
+        clause = (
+            f"TIMESTAMP AS OF '{snapshot_or_ts}'"
+            if isinstance(snapshot_or_ts, str)
+            else f"VERSION AS OF {int(snapshot_or_ts)}"
+        )
+        return f"SELECT {cols} FROM {self.fqtn} {clause}"
+
+    def read_at_version(self, snapshot_or_ts) -> DataFrame:
+        sql = self.read_at_version_sql(snapshot_or_ts)
+        self.sql_log.append(" ".join(sql.split()))
+        return self.spark.sql(sql) if self.execute else None
+
+    def table_changes_sql(self, start_snapshot: int, end_snapshot: int | None = None) -> str:
+        """Incremental read — the Iceberg twin of LakeTable.table_changes:
+        the `create_changelog_view` procedure, which emits per-snapshot
+        change rows with _change_type (INSERT/DELETE/UPDATE_BEFORE/AFTER)
+        — Iceberg's name for the _op/_commit_version feed the local
+        backend derives from its delta files."""
+        catalog = self.fqtn.split(".")[0]
+        tbl = self.fqtn.split(".", 1)[1]
+        end = (
+            f", 'end-snapshot-id', '{end_snapshot}'" if end_snapshot is not None else ""
+        )
+        return (
+            f"CALL {catalog}.system.create_changelog_view("
+            f"table => '{tbl}', "
+            f"options => map('start-snapshot-id', '{start_snapshot}'{end}), "
+            f"changelog_view => 'graft_changes')"
+        )
+
+    def table_changes(self, start_snapshot: int, end_snapshot: int | None = None) -> DataFrame:
+        sql = self.table_changes_sql(start_snapshot, end_snapshot)
+        self.sql_log.append(" ".join(sql.split()))
+        if self.execute:
+            self.spark.sql(sql)
+            return self.spark.sql("SELECT * FROM graft_changes")
+        return None

@@ -107,3 +107,24 @@ def test_both_backends_satisfy_protocol(spark, tmp_path):
     berg = IcebergBackend(spark, "lake.db.code").create(FIELDS)
     assert isinstance(local, TableBackend)
     assert isinstance(berg, TableBackend)
+
+
+def test_time_travel_and_changelog_golden(be):
+    assert be.read_at_version_sql(123456789) == (
+        "SELECT repo, path, commit, lang, content FROM lake.db.code "
+        "VERSION AS OF 123456789"
+    )
+    assert be.read_at_version_sql("2026-08-17 00:00:00") == (
+        "SELECT repo, path, commit, lang, content FROM lake.db.code "
+        "TIMESTAMP AS OF '2026-08-17 00:00:00'"
+    )
+    assert be.table_changes_sql(100, 200) == (
+        "CALL lake.system.create_changelog_view(table => 'db.code', "
+        "options => map('start-snapshot-id', '100', 'end-snapshot-id', '200'), "
+        "changelog_view => 'graft_changes')"
+    )
+    # plan mode records the statements without executing
+    be.read_at_version(1)
+    be.table_changes(1)
+    assert any("VERSION AS OF 1" in s for s in be.sql_log)
+    assert any("create_changelog_view" in s for s in be.sql_log)
