@@ -131,3 +131,60 @@ def test_crash_between_data_write_and_commit(spark, tmp_path, event_log):
     pipe2 = _pipe(spark, tmp_path)
     pipe2.replay_event_dir(ev_dir)
     _assert_state(pipe2, expected)
+
+
+def test_fused_crash_between_task_write_and_commit(spark, tmp_path, event_log):
+    """Fused sink variant of the crash window: the epoch's tasks WROTE the
+    delta parquet files but the driver died before commit_delta_files.
+    The files are invisible (not in any commit), the epoch is unfenced, and
+    the retry clears the reserved dir and converges to oracle state with no
+    duplicates."""
+    import os
+
+    ev_dir, expected = event_log
+    cfg = PipelineConfig(
+        pipeline_id="fcrash", table_dir=str(tmp_path / "table"), n_buckets=8,
+        fused_write=True,
+    )
+    pipe = CdcPipeline(spark, cfg)
+    epochs = sorted(
+        int(d.split("=")[1]) for d in os.listdir(ev_dir) if d.startswith("epoch=")
+    )
+    b0 = spark.read.parquet(os.path.join(ev_dir, f"epoch={epochs[0]}"))
+    pipe.apply_epoch(b0, epochs[0])
+
+    # run epoch 1's fused job for real, then "crash" before the commit
+    table = pipe.table
+    committed_version = commitlog.current_version(cfg.table_dir)
+    orig = table.__class__.commit_delta_files
+
+    def _boom(self, *a, **k):
+        raise RuntimeError("simulated crash before commit")
+
+    table.__class__.commit_delta_files = _boom
+    try:
+        b1 = spark.read.parquet(os.path.join(ev_dir, f"epoch={epochs[1]}"))
+        with pytest.raises(RuntimeError):
+            pipe.apply_epoch(b1, epochs[1])
+    finally:
+        table.__class__.commit_delta_files = orig
+
+    # data files exist on disk but are invisible: no commit advanced, epoch unfenced
+    assert commitlog.current_version(cfg.table_dir) == committed_version
+    assert not pipe.table.is_epoch_committed("fcrash", epochs[1])
+    orphan_dirs = [
+        d for d in os.listdir(os.path.join(cfg.table_dir, "data"))
+        if os.listdir(os.path.join(cfg.table_dir, "data", d))
+    ]
+    assert len(orphan_dirs) > committed_version  # the orphan write is there
+
+    # resume from scratch object: retry of the SAME epoch reuses/clears the
+    # reserved dir, then the rest of the log applies; final state == oracle
+    pipe2 = CdcPipeline(spark, cfg)
+    pipe2.replay_event_dir(ev_dir)
+    _assert_state(pipe2, expected)
+    dup = (
+        pipe2.table.read().groupBy("repo", "path").count()
+        .where("count > 1").count()
+    )
+    assert dup == 0
