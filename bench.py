@@ -87,7 +87,9 @@ def ensure_event_log(spark) -> str:
     return out
 
 
-def run_replay(spark, events_dir: str, table_dir: str, mode: str = "mor", warmup: int = 1) -> dict:
+def run_replay(
+    spark, events_dir: str, table_dir: str, mode: str = "mor", warmup: int = 1, **cfg
+) -> dict:
     """Replay the full log; sustained rate excludes the first `warmup`
     epochs (JVM/codegen/python-worker spin-up, BASELINE.md protocol)."""
     from foundry_es_spark.plans import CdcPipeline, PipelineConfig
@@ -102,6 +104,7 @@ def run_replay(spark, events_dir: str, table_dir: str, mode: str = "mor", warmup
             files_per_bucket=2,
             salt_partitions=0,
             merge_mode=mode,
+            **cfg,
         ),
     )
     t0 = time.monotonic()
@@ -274,10 +277,19 @@ def main() -> None:
         master=f"local[{args.cpus}]", shuffle_partitions=max(8, 4 * args.cpus), app_name="bench"
     )
     t0 = time.monotonic()
-    replay = None
+    replay = replication = None
     if not args.skip_replay:
         events_dir = ensure_event_log(spark)
         replay = run_replay(spark, events_dir, os.path.join(BENCH_ROOT, "table_main"), mode=args.mode)
+        # Secondary metric: replication shape (no enrichment) through the
+        # fused task-writer sink — the pure binlog->lake bandwidth of the
+        # engine, separated from the DATS-enrichment compute the default
+        # pipeline also pays (the r2 table carries the nested dats column
+        # the r1 table lacked).
+        replication = run_replay(
+            spark, events_dir, os.path.join(BENCH_ROOT, "table_repl"),
+            mode="mor", normalize=False, fused_write=True,
+        )
     queries = run_queries(spark, SF_DIR)
     total = round(time.monotonic() - t0, 3)
     out = {
@@ -287,6 +299,7 @@ def main() -> None:
         "queries": queries,
         "sf": _sf_of(SF_DIR),
         "replay": replay,
+        "replay_replication": replication,
         "cpus": args.cpus,
         "query_total_sec": round(sum(queries.values()), 3),
     }
