@@ -335,6 +335,11 @@ class CdcPipeline:
             # commit can never lose dead letters (the epoch would be skipped
             # on resume and `_sys/errors/epoch=N` never written).
             vals = obs.get
+            # the main job has finished by now — record its wall so the
+            # lineage row carries the write stage (the outer assignment
+            # after append_delta/merge_upsert would be too late for the
+            # committed epoch_info copy)
+            stage_sec["merge_write"] = round(time.monotonic() - t2, 3)
             out = {
                 **info,
                 "n_keys": int(vals["n_keys"]),

@@ -463,6 +463,155 @@ FROM events GROUP BY event_type
 """
 
 
+# -------------------------------------------------------------------- Q26+
+# Surface extensions beyond the §2.4 core: pivot, exact percentiles,
+# correlated EXISTS, lag/lead/ntile windows, CUBE grouping sets. Each has
+# a DuckDB oracle twin; value columns are rounded on both sides so the
+# driver's value-hash is FP-stable.
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]  # testdata enum
+
+
+def q26_pivot_events(spark, sf):
+    """Pivot: per user-cohort revenue by event type. Explicit pivot values
+    keep the output column ORDER deterministic (Spark would otherwise sort
+    discovered values — same set, but discovery costs a job)."""
+    e = table(spark, sf, "events")
+    return (
+        e.withColumn("cohort", F.pmod(F.col("user_id"), F.lit(10)).cast("bigint"))
+        .groupBy("cohort")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
+Q26_SQL = """
+SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+       round(sum(value) FILTER (event_type = 'click'), 2) AS click,
+       round(sum(value) FILTER (event_type = 'error'), 2) AS error,
+       round(sum(value) FILTER (event_type = 'purchase'), 2) AS purchase,
+       round(sum(value) FILTER (event_type = 'signup'), 2) AS signup,
+       round(sum(value) FILTER (event_type = 'view'), 2) AS view
+FROM events GROUP BY 1
+"""
+
+
+def q27_percentiles(spark, sf):
+    """Exact discrete (nearest-rank) percentiles per return flag: the value
+    at row ceil(p*n) of the per-group sort. Discrete quantiles return an
+    actual data element, so the oracle compares raw values — interpolated
+    (continuous) percentiles differ by 1 ulp between engines and flip the
+    cent under rounding. Window-sort formulation keeps it distributed; at
+    data-lake scale the one-pass sketch (`approx_percentile`, q8b family)
+    is the production path and this is its exact-oracle twin."""
+    li = table(spark, sf, "lineitem")
+    wv = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(wv).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def at(p, name):
+        hit = F.when(
+            F.col("rk") == F.ceil(F.col("n") * F.lit(p)).cast("bigint"),
+            F.col("l_extendedprice"),
+        )
+        return F.max(hit).alias(name)
+
+    return ranked.groupBy("l_returnflag").agg(
+        at(0.5, "p50"), at(0.9, "p90"), at(0.99, "p99")
+    )
+
+
+Q27_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rk,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem)
+SELECT l_returnflag,
+       max(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT) THEN l_extendedprice END) AS p50,
+       max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT) THEN l_extendedprice END) AS p90,
+       max(CASE WHEN rk = CAST(ceil(n * 0.99) AS BIGINT) THEN l_extendedprice END) AS p99
+FROM ranked GROUP BY l_returnflag
+"""
+
+
+def q28_exists_subquery(spark, sf):
+    """Correlated EXISTS — planned by Catalyst as a semi join, but exercised
+    through the SQL subquery surface (distinct from q4's explicit
+    left_semi)."""
+    table(spark, sf, "customer").createOrReplaceTempView("v_customer")
+    table(spark, sf, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM v_customer c
+        WHERE EXISTS (SELECT 1 FROM v_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+        """
+    )
+
+
+Q28_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+def q29_lag_lead(spark, sf):
+    """lag/lead/ntile window trio per user ordered by time (event_id as the
+    unique tie-break so the frame is total-ordered and hash-stable)."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.lag("value", 1).over(w), 3).alias("prev_value"),
+        F.round(F.lead("value", 1).over(w), 3).alias("next_value"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+Q29_SQL = """
+SELECT user_id, event_id,
+       round(lag(value, 1) OVER w, 3) AS prev_value,
+       round(lead(value, 1) OVER w, 3) AS next_value,
+       ntile(4) OVER w AS quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q30_cube_orders(spark, sf):
+    """CUBE grouping sets over (priority, order year): all 4 grouping
+    combinations in one pass (q9 covers ROLLUP's prefix subset)."""
+    o = table(spark, sf, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate").cast("bigint"))
+        .cube("o_orderpriority", "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+Q30_SQL = """
+SELECT o_orderpriority, order_year, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM (SELECT o_orderpriority, year(o_orderdate) AS order_year, o_totalprice
+      FROM orders)
+GROUP BY CUBE (o_orderpriority, order_year)
+"""
+
+
 QUERIES = {
     "q1_scan_filter": q1_scan_filter,
     "q2_join_orders_customer": q2_join_orders_customer,
@@ -483,6 +632,11 @@ QUERIES = {
     "q16_math_functions": q16_math_functions,
     "q17_array_functions": q17_array_functions,
     "q18_json_functions": q18_json_functions,
+    "q26_pivot_events": q26_pivot_events,
+    "q27_percentiles": q27_percentiles,
+    "q28_exists_subquery": q28_exists_subquery,
+    "q29_lag_lead": q29_lag_lead,
+    "q30_cube_orders": q30_cube_orders,
 }
 
 ORACLES = {
@@ -505,4 +659,9 @@ ORACLES = {
     "q16_math_functions": Q16_SQL,
     "q17_array_functions": Q17_SQL,
     "q18_json_functions": Q18_SQL,
+    "q26_pivot_events": Q26_SQL,
+    "q27_percentiles": Q27_SQL,
+    "q28_exists_subquery": Q28_SQL,
+    "q29_lag_lead": Q29_SQL,
+    "q30_cube_orders": Q30_SQL,
 }

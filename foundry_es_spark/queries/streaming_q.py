@@ -15,6 +15,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from foundry_es_spark.queries.common import table
 
@@ -40,7 +41,9 @@ def _events_stream_dir(sf: str) -> str:
     return d
 
 
-def _run_stream(spark: SparkSession, sf: str, build, n_files: int = 4) -> DataFrame:
+def _run_stream(
+    spark: SparkSession, sf: str, build, n_files: int = 4, output_mode: str | None = None
+) -> DataFrame:
     """Drive a bounded streaming query to completion via a memory sink."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = (
@@ -50,8 +53,9 @@ def _run_stream(spark: SparkSession, sf: str, build, n_files: int = 4) -> DataFr
     )
     out = build(stream)
     name = "q_" + uuid.uuid4().hex[:12]
+    mode = output_mode or ("complete" if out.isStreaming else "append")
     q = (
-        out.writeStream.outputMode("complete" if out.isStreaming else "append")
+        out.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
@@ -233,6 +237,111 @@ GROUP BY c_mktsegment
 """
 
 
+def q23b_stream_stateful_custom(spark, sf):
+    """Custom stateful operator via ``applyInPandasWithState`` — the escape
+    hatch SURVEY §2.4 reserves for operators Spark's built-ins can't
+    express (the reference's per-document state machine shape). Per user,
+    an arbitrary Python-defined state fold: running event count, value
+    sum, and the longest strictly-increasing run of `value`. The
+    longest-run statistic needs ordered per-key iteration with carried
+    state — not expressible as an aggregate without a full window sort —
+    while here state lives in the streaming state store and each trigger
+    processes only its micro-batch (bounded memory at any stream length).
+    Oracle: a bounded availableNow run sees every event exactly once, so
+    the fold equals the same fold computed in SQL over the static table
+    (longest run via the classic gaps-and-islands double window)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_type = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("longest_run", T.LongType()),
+        ]
+    )
+    state_type = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("best", T.LongType()),
+            T.StructField("cur", T.LongType()),
+            T.StructField("last", T.DoubleType()),
+        ]
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total, best, cur, last = (
+            state.get if state.exists else (0, 0.0, 0, 0, None)
+        )
+        import numpy as np
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            vals = pdf["value"].to_numpy()
+            m = len(vals)
+            if m == 0:
+                continue
+            n += m
+            total += float(vals.sum())
+            # vectorized longest-strictly-increasing-run with state carry:
+            # prev[0] is the carried last value (+inf when no state, so the
+            # first element always restarts a run)
+            prev = np.concatenate(([last if last is not None else np.inf], vals[:-1]))
+            inc = vals > prev
+            idx = np.arange(m)
+            resets = np.where(~inc, idx, -1)
+            last_reset = np.maximum.accumulate(resets)
+            runs = np.where(last_reset >= 0, idx - last_reset + 1, idx + 1 + cur)
+            best = max(best, int(runs.max()))
+            cur = int(runs[-1])
+            last = float(vals[-1])
+        state.update((n, total, best, cur, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "longest_run": [best],
+            }
+        )
+
+    def build(s):
+        return s.groupBy("user_id").applyInPandasWithState(
+            fold,
+            outputStructType=out_type,
+            stateStructType=state_type,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    return _run_stream(spark, sf, build, output_mode="update")
+
+
+Q23B_SQL = """
+WITH ordered AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CASE WHEN value > lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              THEN 0 ELSE 1 END AS brk
+  FROM events
+), grp AS (
+  SELECT user_id, rn,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS island
+  FROM ordered
+), runs AS (
+  SELECT user_id, island, count(*) AS run_len FROM grp GROUP BY user_id, island
+)
+SELECT e.user_id,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS total_value,
+       (SELECT max(run_len) FROM runs r WHERE r.user_id = e.user_id) AS longest_run
+FROM events e GROUP BY e.user_id
+"""
+
+
 QUERIES = {
     "q19_stream_tumbling_agg": q19_stream_tumbling_agg,
     "q20_stream_sliding_agg": q20_stream_sliding_agg,
@@ -240,6 +349,7 @@ QUERIES = {
     "q21_stream_watermarked_agg": q21_stream_watermarked_agg,
     "q22_stream_dedup": q22_stream_dedup,
     "q23_stream_static_join": q23_stream_static_join,
+    "q23b_stream_stateful_custom": q23b_stream_stateful_custom,
 }
 
 ORACLES = {
@@ -249,4 +359,5 @@ ORACLES = {
     "q21_stream_watermarked_agg": Q21_SQL,
     "q22_stream_dedup": Q22_SQL,
     "q23_stream_static_join": Q23_SQL,
+    "q23b_stream_stateful_custom": Q23B_SQL,
 }
