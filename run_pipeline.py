@@ -27,6 +27,12 @@ def main() -> None:
     ap.add_argument("--files-per-bucket", type=int, default=2)
     ap.add_argument("--merge-mode", default="mor", choices=["mor", "cow"])
     ap.add_argument("--compact-strategy", default="sorted", choices=["sorted", "winners", "agg"])
+    ap.add_argument("--no-normalize", action="store_true",
+                    help="replication shape: skip DATS enrichment (enables the fused task-writer sink)")
+    ap.add_argument("--fused-write", default="auto", choices=["auto", "on", "off"],
+                    help="mor+sorted task-writer sink; auto = only without enrichment")
+    ap.add_argument("--partition-metrics", action="store_true",
+                    help="record per-partition compaction task metrics in lineage")
     ap.add_argument("--max-files-per-trigger", type=int, default=64)
     ap.add_argument("--continuous", action="store_true",
                     help="keep running for new files (default: drain available then exit)")
@@ -46,6 +52,9 @@ def main() -> None:
             files_per_bucket=args.files_per_bucket,
             merge_mode=args.merge_mode,
             compact_strategy=args.compact_strategy,
+            normalize=not args.no_normalize,
+            fused_write={"auto": "auto", "on": True, "off": False}[args.fused_write],
+            record_partition_metrics=args.partition_metrics,
         ),
     )
     query = run_stream(

@@ -27,6 +27,12 @@ def main() -> None:
     ap.add_argument("--files-per-bucket", type=int, default=2)
     ap.add_argument("--merge-mode", default="mor", choices=["mor", "cow"])
     ap.add_argument("--compact-strategy", default="sorted", choices=["sorted", "winners", "agg"])
+    ap.add_argument("--no-normalize", action="store_true",
+                    help="replication shape: skip DATS enrichment (enables the fused task-writer sink)")
+    ap.add_argument("--fused-write", default="auto", choices=["auto", "on", "off"],
+                    help="mor+sorted task-writer sink; auto = only without enrichment")
+    ap.add_argument("--partition-metrics", action="store_true",
+                    help="record per-partition compaction task metrics in lineage")
     ap.add_argument("--verify-digest", action="store_true",
                     help="print the sorted sha256 rollup of final state")
     args = ap.parse_args()
@@ -46,6 +52,9 @@ def main() -> None:
             files_per_bucket=args.files_per_bucket,
             merge_mode=args.merge_mode,
             compact_strategy=args.compact_strategy,
+            normalize=not args.no_normalize,
+            fused_write={"auto": "auto", "on": True, "off": False}[args.fused_write],
+            record_partition_metrics=args.partition_metrics,
         ),
     )
     results = pipe.replay_event_dir(args.events_dir, from_epoch=args.from_epoch)
@@ -57,10 +66,18 @@ def main() -> None:
         "final_rows": pipe.table.read().count(),
     }
     if args.verify_digest:
-        # BASELINE.json verification query: per-row content sha256 rollup
+        # BASELINE.json verification query: per-row content sha256 rollup.
+        # Replication shape (--no-normalize) has no stored sha column, so
+        # compute it from content — same per-row invariant either way.
+        state = pipe.table.read()
+        sha = (
+            F.col("content_sha256")
+            if "content_sha256" in state.columns
+            else F.sha2(F.col("content"), 256)
+        )
         row = (
-            pipe.table.read()
-            .select(F.concat_ws("|", "repo", "path", "commit", "lang", "content_sha256").alias("l"))
+            state
+            .select(F.concat_ws("|", "repo", "path", "commit", "lang", sha).alias("l"))
             .orderBy("l")
             .agg(F.sha2(F.concat_ws("\n", F.collect_list("l")), 256).alias("digest"))
             .collect()[0]
