@@ -44,25 +44,38 @@ def _events_stream_dir(sf: str) -> str:
 def _run_stream(
     spark: SparkSession, sf: str, build, n_files: int = 4, output_mode: str | None = None
 ) -> DataFrame:
-    """Drive a bounded streaming query to completion via a memory sink."""
+    """Drive a bounded streaming query to completion via a memory sink.
+
+    Streaming disables AQE, so the session's batch-sized
+    ``shuffle.partitions`` (= state-store count: one store instance per
+    shuffle partition, each paying init + per-trigger commit) would spawn
+    ~100+ near-empty state stores per stateful stage. Stateful queries pin
+    their partitioning at first checkpoint anyway, so a bounded one-shot
+    run sizes it explicitly and restores the session value after.
+    """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    stream = (
-        spark.readStream.schema(EVENTS_DDL)
-        .option("maxFilesPerTrigger", max(1, n_files))
-        .parquet(_events_stream_dir(sf))
-    )
-    out = build(stream)
-    name = "q_" + uuid.uuid4().hex[:12]
-    mode = output_mode or ("complete" if out.isStreaming else "append")
-    q = (
-        out.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        stream = (
+            spark.readStream.schema(EVENTS_DDL)
+            .option("maxFilesPerTrigger", max(1, n_files))
+            .parquet(_events_stream_dir(sf))
+        )
+        out = build(stream)
+        name = "q_" + uuid.uuid4().hex[:12]
+        mode = output_mode or ("complete" if out.isStreaming else "append")
+        q = (
+            out.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 # -------------------------------------------------------------------- Q19
@@ -177,29 +190,34 @@ def q22_stream_dedup(spark, sf):
     stream). Duplicates here share a timestamp, so any delay dedups them;
     state expiry itself is asserted in tests/test_streaming_semantics.py."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    stream = (
-        spark.readStream.schema(EVENTS_DDL)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(_events_stream_dir(sf))
-    )
-    duplicated = stream.withColumn("dup", F.explode(F.array(F.lit(1), F.lit(2)))).drop("dup")
-    deduped = duplicated.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
-        ["event_id"]
-    )
-    import uuid as _uuid
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")  # state-store count; see _run_stream
+    try:
+        stream = (
+            spark.readStream.schema(EVENTS_DDL)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(_events_stream_dir(sf))
+        )
+        duplicated = stream.withColumn("dup", F.explode(F.array(F.lit(1), F.lit(2)))).drop("dup")
+        deduped = duplicated.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        import uuid as _uuid
 
-    # append-mode sink: the stateful operator under test is the dedup
-    # itself (chaining a complete-mode agg after it is unsupported);
-    # the rollup over the deduped stream output is a plain batch agg.
-    name = "q_" + _uuid.uuid4().hex[:12]
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        # append-mode sink: the stateful operator under test is the dedup
+        # itself (chaining a complete-mode agg after it is unsupported);
+        # the rollup over the deduped stream output is a plain batch agg.
+        name = "q_" + _uuid.uuid4().hex[:12]
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         spark.table(name)
         .groupBy("event_type")
