@@ -109,6 +109,36 @@ def test_fused_write_equals_jvm_write(spark, tmp_path):
         assert la == lb
 
 
+def test_change_feed_matches_lineage(spark, tmp_path):
+    """table_changes is exactly the per-epoch compacted change set: its
+    per-commit row counts equal the lineage's n_keys, and the feed's final
+    fold (latest row per key, drop trailing deletes) equals the snapshot
+    read — the invariant an incremental downstream consumer relies on."""
+    tmp = str(tmp_path)
+    ev = gen_change_events(spark, n_events=4000, n_keys=500, hot_frac=0.3)
+    write_event_log(ev, f"{tmp}/events", epoch_size=1000)
+    pipe = _replay(spark, tmp, "feed", f"{tmp}/events", compact_threshold=3)
+
+    feed = pipe.table.table_changes()
+    by_commit = {
+        r["_commit_version"]: r["n"]
+        for r in feed.groupBy("_commit_version").count().withColumnRenamed("count", "n").collect()
+    }
+    lineage = {r["table_version"]: r["n_keys"] for r in pipe._epoch_infos()}
+    assert by_commit == {v: n for v, n in lineage.items() if n}
+
+    # fold the feed to final state and compare with the snapshot
+    w_latest = (
+        feed.groupBy("repo", "path")
+        .agg(F.max_by(F.struct("_op", "content_sha256"), "_seq").alias("r"))
+        .where(F.col("r._op") != "D")
+        .select("repo", "path", F.col("r.content_sha256").alias("content_sha256"))
+    )
+    snap = pipe.table.read().select("repo", "path", "content_sha256")
+    assert w_latest.exceptAll(snap).count() == 0
+    assert snap.exceptAll(w_latest).count() == 0
+
+
 def test_mor_resume_mid_stream(spark, tmp_path):
     tmp = str(tmp_path)
     ev = gen_change_events(spark, n_events=5000, n_keys=700)
