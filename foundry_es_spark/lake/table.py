@@ -375,24 +375,38 @@ class LakeTable:
         df = self.spark.createDataFrame([(r,) for r in repos], "repo string")
         return {row[0] for row in df.select(bucket_expr(n_buckets)).collect()}
 
-    def _pruned_files(self, rec: dict, repos: list[str] | None) -> list[dict]:
+    def _pruned_files(
+        self,
+        rec: dict,
+        repos: list[str] | None,
+        buckets: list[int] | None = None,
+    ) -> list[dict]:
         """Bucket-prune the live file list for a selective key lookup —
         the local analogue of Iceberg partition pruning on bucket(N, repo):
         a k-repo lookup touches at most k of N buckets' files, not the
         table. Within the surviving files, the repo predicate then prunes
-        row groups via parquet min/max stats (files are key-sorted)."""
+        row groups via parquet min/max stats (files are key-sorted).
+        `buckets` prunes by explicit bucket ids (callers that already know
+        the touched buckets, e.g. the no-op-suppression state read)."""
         files = rec["files"]
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
         if not repos:
             return files
         bkts = self._buckets_for_repos(repos, rec["n_buckets"])
         return [f for f in files if f["bucket"] in bkts]
 
-    def read_internal(self, repos: list[str] | None = None) -> DataFrame:
+    def read_internal(
+        self, repos: list[str] | None = None, buckets: list[int] | None = None
+    ) -> DataFrame:
         """All rows incl. tombstones and system columns (latest per key).
-        `repos` prunes to the named repos' buckets before any file is
+        `repos`/`buckets` prune to the matching buckets before any file is
         opened."""
         rec = self._current()
-        df = self._read_merged(rec, self._pruned_files(rec, repos), filter_repos=repos)
+        df = self._read_merged(
+            rec, self._pruned_files(rec, repos, buckets), filter_repos=repos
+        )
         if df is None:
             return self.spark.createDataFrame([], _fields_to_struct(self.schema_fields(rec)))
         if repos:

@@ -301,7 +301,21 @@ class CdcPipeline:
         )
 
         if self.cfg.suppress_no_ops:
-            merge_batch = suppress_unchanged(merge_batch, table.read_internal())
+            # C3's state read is bucket-pruned: the comparison only needs
+            # rows whose bucket the batch touches — one narrow distinct
+            # over bucket ids (<= n_buckets values) instead of a full
+            # table read per epoch.
+            from foundry_es_spark.lake.table import bucket_expr
+
+            touched = [
+                r[0]
+                for r in merge_batch.select(
+                    bucket_expr(self.cfg.n_buckets).alias("b")
+                ).distinct().collect()
+            ]
+            merge_batch = suppress_unchanged(
+                merge_batch, table.read_internal(buckets=touched)
+            )
 
         info = base_info
         if n_events == 0:

@@ -194,3 +194,26 @@ def test_compact_and_vacuum(spark, tmp_table):
     removed = t.vacuum()
     assert t.read().count() == before
     assert removed >= 1
+
+
+def test_concurrent_writer_conflict(spark, tmp_table):
+    """Optimistic concurrency: two writers racing the same version — the
+    loser gets CommitConflict and the table reflects exactly one commit
+    (the hard-link swap in lake/log.py is the atomicity point)."""
+    from foundry_es_spark.lake import log as commitlog
+
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=4)
+    t.merge_upsert(_batch(spark, [("r1", "a", "c0", "py", "v0", 0, "I")]))
+    rec = t._current()
+    # writer A commits version v+1
+    commitlog.write_commit(tmp_table, {**rec, "version": rec["version"] + 1})
+    # writer B (stale view) tries the same version
+    with pytest.raises(commitlog.CommitConflict):
+        commitlog.write_commit(tmp_table, {**rec, "version": rec["version"] + 1})
+    # fused-sink reservation detects the same race at commit time
+    version, rel = t.begin_delta_version()
+    commitlog.write_commit(tmp_table, {**t._current(), "version": version})
+    with pytest.raises(commitlog.CommitConflict):
+        t.commit_delta_files(version, [])
+    # state is intact: still exactly one live row
+    assert t.read().count() == 1
