@@ -77,6 +77,16 @@ def bucket_expr(n_buckets: int):
 class LakeTable:
     """One lake table rooted at `table_dir`. Single-writer per table."""
 
+    # Ranged-merge threshold: a bucket whose base+delta bytes exceed this
+    # is merged in key-range chunks (bounded worker memory) instead of as
+    # one in-memory table. Size for executor memory; tests shrink it to
+    # force the ranged path on toy data.
+    merge_range_target_bytes: int = 512 * 1024 * 1024
+    # Row-group size for files written by the fused (pyarrow) writers.
+    # None = pyarrow default; smaller groups tighten ranged-merge and
+    # selective-read pruning at a small metadata cost.
+    parquet_row_group_rows: int | None = None
+
     def __init__(self, spark: SparkSession, table_dir: str):
         self.spark = spark
         self.table_dir = table_dir
@@ -231,14 +241,172 @@ class LakeTable:
         meta_rows = [(b, _json.dumps(specs)) for b, specs in sorted(by_bucket.items())]
         abs_write_dir = os.path.join(self.table_dir, write_rel) if write_rel else None
 
+        range_target = self.merge_range_target_bytes
+        rg_rows = self.parquet_row_group_rows
+
         def _merge_bucket(iterator):
             import pyarrow as pa
             import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
+            SEP = "\x00"  # minimal codepoint: concat-compare == tuple-compare
+
+            def align(t, spec):
+                """Project a file's table to the current schema by field id
+                and append the _gen tie-break column."""
+                cols, names = [], []
+                for i, name in enumerate(cur_names):
+                    src = proj[spec["sv"]][i]
+                    if src is None or src not in t.column_names:
+                        col = pa.nulls(t.num_rows, target_types[i])
+                    else:
+                        col = t.column(src)
+                        if col.type != target_types[i]:
+                            col = pc.cast(col, target_types[i])
+                    cols.append(col)
+                    names.append(name)
+                for sc_ in ("_seq", "_op"):
+                    cols.append(pc.cast(t.column(sc_), target_types[len(names)]))
+                    names.append(sc_)
+                cols.append(pa.array([spec["gen"]] * t.num_rows, pa.int32()))
+                names.append("_gen")
+                return pa.table(dict(zip(names, cols)))
+
+            def dedup(parts):
+                """Sort by (key, _seq, _gen), keep each key run's last row."""
+                tbl = pa.concat_tables(parts).combine_chunks()
+                n = tbl.num_rows
+                if n == 0:
+                    return None
+                order = [(k, "ascending") for k in key_cols] + [
+                    ("_seq", "ascending"), ("_gen", "ascending"),
+                ]
+                tbl = tbl.take(pc.sort_indices(tbl, sort_keys=order))
+                if n == 1:
+                    mask = pa.array([True])
+                else:
+                    neq = None
+                    for k in key_cols:
+                        col = tbl.column(k).combine_chunks()
+                        d = pc.not_equal(col.slice(0, n - 1), col.slice(1))
+                        neq = d if neq is None else pc.or_(neq, d)
+                    neq = neq.combine_chunks() if isinstance(neq, pa.ChunkedArray) else neq
+                    mask = pa.concat_arrays([neq, pa.array([True])])
+                return tbl.filter(mask).drop(["_gen"])
+
+            def emit(out, b, file_idx):
+                """Stream back (read mode) or write a parquet file and
+                yield its metadata row (fused write mode)."""
+                if abs_write_dir is None:
+                    yield from out.to_batches(max_chunksize=8192)
+                    return
+                bdir = os.path.join(abs_write_dir, f"bkt={b}")
+                os.makedirs(bdir, exist_ok=True)
+                fn = f"part-{file_idx:05d}.parquet"
+                pq.write_table(
+                    out, os.path.join(bdir, fn), compression=codec,
+                    **({"row_group_size": rg_rows} if rg_rows else {}),
+                )
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "bucket": pa.array([b], pa.int32()),
+                        "path": pa.array([f"{write_rel}/bkt={b}/{fn}"], pa.string()),
+                        "rows": pa.array([out.num_rows], pa.int64()),
+                    }
+                )
+
+            def key_bounds(meta, rg):
+                """Conservative [min,max] combined-key bounds of a row group
+                from per-column stats (per-column min/max bracket the true
+                tuple min/max; parquet stat truncation only widens them, so
+                overlap tests stay safe)."""
+                names = meta.schema.names
+                vals = {}
+                for k in key_cols:
+                    st = meta.row_group(rg).column(names.index(k)).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    vals[k] = (st.min, st.max)
+                lo = SEP.join(str(vals[k][0]) for k in key_cols)
+                hi = SEP.join(str(vals[k][1]) for k in key_cols) + "￿"
+                return lo, hi
+
+            def plan_ranges(specs):
+                """Key-range edges for the ranged merge, from the largest
+                file's row-group stats; None when stats are unusable
+                (caller falls back to the whole-bucket path)."""
+                metas = [pq.ParquetFile(s["path"]).metadata for s in specs]
+                sizes = [os.path.getsize(s["path"]) for s in specs]
+                total = sum(sizes)
+                n_ranges = max(2, -(-total // max(1, range_target)))
+                big = max(range(len(specs)), key=lambda i: sizes[i])
+                cands = []
+                for rg in range(metas[big].num_row_groups):
+                    kb = key_bounds(metas[big], rg)
+                    if kb is None:
+                        return None
+                    cands.append(kb[1])
+                if len(cands) < 2:
+                    return None
+                step = max(1, len(cands) // n_ranges)
+                bounds = sorted(set(cands[step - 1 :: step]))[:-1]
+                return [""] + bounds + ["\U0010ffff" * 4]
+
+            def merge_ranged(specs, b, edges):
+                """Bounded-memory path for buckets larger than
+                `merge_range_target_bytes`: partition the key space into
+                ranges and merge range by range — per-range memory is the
+                range's bytes plus at most one boundary row group per
+                file, so a 100 GB bucket streams through a worker that
+                never holds more than ~the target. Keys cannot straddle
+                ranges (ranges partition the combined-key space), so
+                per-range dedup is complete. Row groups are selected by
+                conservative stat bounds, then rows are filtered exactly
+                by combined key — stat truncation or missing stats only
+                cost extra read, never correctness."""
+                pfs = [pq.ParquetFile(spec["path"]) for spec in specs]
+                metas = [pf.metadata for pf in pfs]
+                out_idx = 0
+                for lo, hi in zip(edges[:-1], edges[1:]):
+                    parts = []
+                    for pf, meta, spec in zip(pfs, metas, specs):
+                        rgs = []
+                        for rg in range(meta.num_row_groups):
+                            kb = key_bounds(meta, rg)
+                            if kb is None:
+                                rgs.append(rg)  # no stats → conservative
+                            elif not (kb[1] < lo or kb[0] >= hi):
+                                rgs.append(rg)
+                        if not rgs:
+                            continue
+                        t = pf.read_row_groups(rgs)
+                        combined = pc.binary_join_element_wise(
+                            *[pc.cast(t.column(k), pa.string()) for k in key_cols],
+                            SEP,
+                        )
+                        m = pc.less_equal(combined, hi)
+                        if lo:
+                            m = pc.and_(pc.greater(combined, lo), m)
+                        t = t.filter(m)
+                        if t.num_rows:
+                            parts.append(align(t, spec))
+                    if not parts:
+                        continue
+                    out = dedup(parts)
+                    if out is not None and out.num_rows:
+                        yield from emit(out, b, out_idx)
+                        out_idx += 1
+
             for mb in iterator:
                 for row in mb.to_pylist():
                     specs = _json.loads(row["files"])
+                    b = int(row["bucket"])
+                    total = sum(os.path.getsize(s["path"]) for s in specs)
+                    if filter_repos is None and total > range_target:
+                        edges = plan_ranges(specs)
+                        if edges is not None:
+                            yield from merge_ranged(specs, b, edges)
+                            continue
                     parts = []
                     for spec in specs:
                         # Selective lookups push the repo predicate into the
@@ -252,68 +420,20 @@ class LakeTable:
                                 else None
                             ),
                         )
-                        cols, names = [], []
-                        for i, name in enumerate(cur_names):
-                            src = proj[spec["sv"]][i]
-                            if src is None or src not in t.column_names:
-                                col = pa.nulls(t.num_rows, target_types[i])
-                            else:
-                                col = t.column(src)
-                                if col.type != target_types[i]:
-                                    col = pc.cast(col, target_types[i])
-                            cols.append(col)
-                            names.append(name)
-                        for sc_ in ("_seq", "_op"):
-                            cols.append(pc.cast(t.column(sc_), target_types[len(names)]))
-                            names.append(sc_)
-                        cols.append(pa.array([spec["gen"]] * t.num_rows, pa.int32()))
-                        names.append("_gen")
-                        parts.append(pa.table(dict(zip(names, cols))))
-                    tbl = pa.concat_tables(parts).combine_chunks()
-                    n = tbl.num_rows
-                    if n == 0:
+                        parts.append(align(t, spec))
+                    out = dedup(parts)
+                    if out is None:
                         continue
-                    order = [(k, "ascending") for k in key_cols] + [
-                        ("_seq", "ascending"), ("_gen", "ascending"),
-                    ]
-                    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=order))
-                    if n == 1:
-                        mask = pa.array([True])
-                    else:
-                        neq = None
-                        for k in key_cols:
-                            col = tbl.column(k).combine_chunks()
-                            d = pc.not_equal(col.slice(0, n - 1), col.slice(1))
-                            neq = d if neq is None else pc.or_(neq, d)
-                        neq = neq.combine_chunks() if isinstance(neq, pa.ChunkedArray) else neq
-                        mask = pa.concat_arrays([neq, pa.array([True])])
-                    out = tbl.filter(mask).drop(["_gen"])
                     if abs_write_dir is None:
                         yield from out.to_batches(max_chunksize=8192)
                         continue
-                    b = int(row["bucket"])
-                    bdir = os.path.join(abs_write_dir, f"bkt={b}")
-                    os.makedirs(bdir, exist_ok=True)
                     m = out.num_rows
                     k = max(1, min(files_per_bucket, m))
                     step = -(-m // k)
                     for i in range(k):
                         piece = out.slice(i * step, step)
-                        if piece.num_rows == 0:
-                            continue
-                        fn = f"part-{i:05d}.parquet"
-                        pq.write_table(
-                            piece, os.path.join(bdir, fn), compression=codec
-                        )
-                        yield pa.RecordBatch.from_pydict(
-                            {
-                                "bucket": pa.array([b], pa.int32()),
-                                "path": pa.array(
-                                    [f"{write_rel}/bkt={b}/{fn}"], pa.string()
-                                ),
-                                "rows": pa.array([piece.num_rows], pa.int64()),
-                            }
-                        )
+                        if piece.num_rows:
+                            yield from emit(piece, b, i)
 
         rdd = self.spark.sparkContext.parallelize(meta_rows, max(1, len(meta_rows)))
         meta_df = self.spark.createDataFrame(rdd, "bucket int, files string")

@@ -168,3 +168,42 @@ def test_mor_resume_mid_stream(spark, tmp_path):
     res = p2.apply_epoch(spark.read.parquet(f"{tmp}/events/epoch={epochs[0]}"), epochs[0])
     assert res["skipped"] is True
     assert _digest(p2.table.read()) == full
+
+
+def test_ranged_merge_bounded_memory_path(spark, tmp_path, monkeypatch):
+    """Buckets above merge_range_target_bytes merge range-by-range (the
+    bounded-memory path for 100GB buckets). Force it on toy data — tiny
+    threshold + small row groups so the big file yields multiple range
+    candidates — and pin byte-identical results vs the whole-bucket path,
+    for both the read and the fused-compaction write."""
+    from foundry_es_spark.lake import LakeTable
+
+    tmp = str(tmp_path)
+    ev = gen_change_events(spark, n_events=5000, n_keys=600, hot_frac=0.3)
+    write_event_log(ev, f"{tmp}/events", epoch_size=1000)
+
+    # few buckets → each bucket holds many keys/rows; small row groups on
+    # the fused-compaction output give plan_ranges real candidates
+    monkeypatch.setattr(LakeTable, "parquet_row_group_rows", 40)
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(pipeline_id="rng", table_dir=f"{tmp}/t", n_buckets=2,
+                       compact_threshold=3),
+    )
+    pipe.replay_event_dir(f"{tmp}/events")
+    assert any(f.get("delta") for f in pipe.table._current()["files"])
+
+    whole = _digest(pipe.table.read())
+
+    monkeypatch.setattr(LakeTable, "merge_range_target_bytes", 1)
+    ranged = _digest(pipe.table.read())
+    assert ranged == whole
+
+    # fused compaction through the ranged path: multiple range files per
+    # bucket, state unchanged, and subsequent pure-base read identical
+    t = pipe.table
+    buckets = sorted({f["bucket"] for f in t._current()["files"]})
+    stats = t.compact_buckets(buckets)
+    assert stats["files_written"] > len(buckets), "expected one file per range"
+    assert not any(f.get("delta") for f in t._current()["files"])
+    assert _digest(t.read()) == whole
