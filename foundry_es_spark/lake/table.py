@@ -690,7 +690,7 @@ class LakeTable:
         """Merge-on-read upsert: append the pre-compacted batch as a new
         delta generation, bucketed like the base files, WITHOUT reading or
         rewriting existing data. Readers collapse generations per key
-        (:meth:`_merge_generations`); :meth:`compact_buckets` amortizes the
+        (:meth:`_bucket_local_merge`); :meth:`compact_buckets` amortizes the
         read cost back down.
 
         This is the scale path for 10^10-event replay: copy-on-write MERGE
