@@ -160,10 +160,41 @@ def _lang_id_udf(text: pd.Series) -> pd.Series:
 
 
 def text_lang_id(spark, sf):
-    """Heuristic language ID (marker-word + CJK-charset). Rows-only check —
-    the point is the Spark-side shape (one Arrow batch in, one out)."""
+    """Heuristic language ID (marker-word counts + CJK charset), as one
+    vectorized Arrow batch in/out. The scoring rule is deterministic
+    (occurrence counts, first-max tie-break in en>de>fr>es order, CJK
+    override), so it has an exact DuckDB oracle twin."""
     d = table(spark, sf, "documents")
     return d.select("doc_id", "lang", _lang_id_udf(F.col("text")).alias("lang_pred"))
+
+
+def _marker_list(lang: str) -> str:
+    return ", ".join(f"'{m}'" for m in sorted(_LANG_MARKERS[lang]))
+
+
+TEXT_LANG_ID_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(coalesce(text, '')), '\\s+')) AS tok
+  FROM documents
+), scores AS (
+  SELECT d.doc_id, d.lang,
+         count(*) FILTER (t.tok IN ({_marker_list("en")})) AS en,
+         count(*) FILTER (t.tok IN ({_marker_list("de")})) AS de,
+         count(*) FILTER (t.tok IN ({_marker_list("fr")})) AS fr,
+         count(*) FILTER (t.tok IN ({_marker_list("es")})) AS es,
+         CASE WHEN regexp_matches(coalesce(d.text, ''), '[一-鿿]') THEN 1 ELSE 0 END AS cjk
+  FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id, d.lang, d.text
+)
+SELECT doc_id, lang,
+       CASE WHEN cjk > 0 THEN 'zh'
+            WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+            WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+            WHEN de >= fr AND de >= es THEN 'de'
+            WHEN fr >= es THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM scores
+"""
 
 
 def text_lang_confusion(spark, sf):
@@ -227,9 +258,16 @@ QUERIES = {
     "text_lang_confusion": text_lang_confusion,
 }
 
+LANG_CONFUSION_SQL = f"""
+SELECT lang, lang_pred, count(*) AS n
+FROM ({TEXT_LANG_ID_SQL}) GROUP BY lang, lang_pred
+"""
+
 ORACLES = {
     "dats_nested_metadata": DATS_NESTED_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_token_count": TEXT_TOKEN_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_lang_id": TEXT_LANG_ID_SQL,
+    "text_lang_confusion": LANG_CONFUSION_SQL,
 }
