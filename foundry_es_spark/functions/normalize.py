@@ -172,11 +172,19 @@ DATS_NESTED_TYPE = T.StructType(
 
 def dats_nested_expr(content_col: str | Column = "content") -> Column:
     """The nested DATS struct: hex identifiers (scheme = sha1/sha256 by
-    length, else hex) and ISO dates, as sorted-distinct arrays of structs."""
+    length, else hex) and ISO dates, as sorted-distinct arrays of structs.
+
+    ``try_to_date`` (not ``to_date``): the date regex matches calendar-
+    invalid tokens like 2024-13-99, and under Spark 4's default ANSI mode
+    a plain cast would throw — a poison-pill row that passes validity but
+    fails the epoch on every retry. Invalid dates keep their raw token
+    with a null ``d``."""
     c = F.col(content_col) if isinstance(content_col, str) else content_col
     ids = F.transform(
         F.array_sort(
-            F.array_distinct(F.expr(f"regexp_extract_all({content_col}, '\\\\b[0-9a-f]{{8,64}}\\\\b', 0)"))
+            F.array_distinct(
+                F.regexp_extract_all(c, F.lit(r"\b[0-9a-f]{8,64}\b"), F.lit(0))
+            )
         ),
         lambda v: F.struct(
             v.alias("value"),
@@ -189,10 +197,10 @@ def dats_nested_expr(content_col: str | Column = "content") -> Column:
     dates = F.transform(
         F.array_sort(
             F.array_distinct(
-                F.expr(f"regexp_extract_all({content_col}, '\\\\b\\\\d{{4}}-\\\\d{{2}}-\\\\d{{2}}\\\\b', 0)")
+                F.regexp_extract_all(c, F.lit(r"\b\d{4}-\d{2}-\d{2}\b"), F.lit(0))
             )
         ),
-        lambda v: F.struct(v.alias("raw"), F.to_date(v).alias("d")),
+        lambda v: F.struct(v.alias("raw"), F.try_to_timestamp(v).cast("date").alias("d")),
     )
     return F.when(c.isNotNull(), F.struct(ids.alias("identifiers"), dates.alias("dates")))
 

@@ -40,6 +40,21 @@ class TableBackend(Protocol):
     def bucket_delta_generations(self) -> dict[int, int]: ...
     def compact_buckets(self, buckets: list[int], files_per_bucket: int = 1) -> dict: ...
 
-    # --- reads
+    # --- reads (`buckets` lets C3's state comparison prune to the batch's
+    # touched buckets; backends with their own pruning may ignore it)
     def read(self) -> DataFrame: ...
-    def read_internal(self) -> DataFrame: ...
+    def read_internal(self, buckets: list[int] | None = None) -> DataFrame: ...
+
+
+# OPTIONAL backend surface, deliberately outside the protocol: the fused
+# task-writer sink (`begin_delta_version` / `commit_delta_files`) is a
+# physical strategy of the local parquet backend — on Iceberg the same
+# role is played by MERGE INTO with write.merge.mode=merge-on-read, so
+# IcebergBackend does not implement it. The pipeline feature-detects it
+# with hasattr() and falls back to append_delta otherwise; anything the
+# epoch body REQUIRES must live in TableBackend above.
+FUSED_SINK_METHODS = ("begin_delta_version", "commit_delta_files")
+
+
+def supports_fused_sink(backend) -> bool:
+    return all(hasattr(backend, m) for m in FUSED_SINK_METHODS)

@@ -239,7 +239,10 @@ class IcebergBackend:
     def read(self) -> DataFrame:
         return self.spark.sql(f"SELECT {', '.join(f.name for f in self._fields)} FROM {self.fqtn}")
 
-    def read_internal(self) -> DataFrame:
+    def read_internal(self, buckets: list[int] | None = None) -> DataFrame:
+        # bucket pruning is Iceberg's job (partition pruning on
+        # bucket(N, repo) via the MERGE/scan predicates); the hint is
+        # accepted for protocol parity and ignored
         return self.spark.sql(f"SELECT * FROM {self.fqtn}")
 
     def read_at_version_sql(self, snapshot_or_ts) -> str:

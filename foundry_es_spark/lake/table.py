@@ -300,9 +300,13 @@ class LakeTable:
                 if abs_write_dir is None:
                     yield from out.to_batches(max_chunksize=8192)
                     return
+                from pyspark import TaskContext
+
                 bdir = os.path.join(abs_write_dir, f"bkt={b}")
                 os.makedirs(bdir, exist_ok=True)
-                fn = f"part-{file_idx:05d}.parquet"
+                # attempt id: concurrent speculative attempts must never
+                # write the same path (see operators/cdc fused sink)
+                fn = f"part-{file_idx:05d}-a{TaskContext.get().taskAttemptId()}.parquet"
                 pq.write_table(
                     out, os.path.join(bdir, fn), compression=codec,
                     **({"row_group_size": rg_rows} if rg_rows else {}),
@@ -319,16 +323,20 @@ class LakeTable:
                 """Conservative [min,max] combined-key bounds of a row group
                 from per-column stats (per-column min/max bracket the true
                 tuple min/max; parquet stat truncation only widens them, so
-                overlap tests stay safe)."""
+                overlap tests stay safe). Non-string key stats return None
+                — lexicographic edges would misorder numeric keys, so those
+                tables take the whole-bucket path / conservative include."""
                 names = meta.schema.names
                 vals = {}
                 for k in key_cols:
                     st = meta.row_group(rg).column(names.index(k)).statistics
                     if st is None or not st.has_min_max:
                         return None
+                    if not (isinstance(st.min, str) and isinstance(st.max, str)):
+                        return None
                     vals[k] = (st.min, st.max)
-                lo = SEP.join(str(vals[k][0]) for k in key_cols)
-                hi = SEP.join(str(vals[k][1]) for k in key_cols) + "￿"
+                lo = SEP.join(vals[k][0] for k in key_cols)
+                hi = SEP.join(vals[k][1] for k in key_cols)
                 return lo, hi
 
             def plan_ranges(specs):

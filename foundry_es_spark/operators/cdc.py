@@ -242,7 +242,14 @@ def compact_sorted_partitions(
         import pyarrow.parquet as _pq
         from pyspark import TaskContext as _TC
 
-        pid = _TC.get().partitionId()
+        tc = _TC.get()
+        pid = tc.partitionId()
+        # attempt id in the name: a speculative/retried attempt writing the
+        # same path concurrently on shared storage would tear the file; the
+        # committed metadata row references exactly the winning attempt's
+        # file (Spark delivers one attempt's output), losers become
+        # unreferenced debris
+        att = tc.taskAttemptId()
         bkt_vals = out.column("bkt")
         data = out.drop(["bkt"] + (["_salt"] if "_salt" in out.column_names else []))
         for b in pc.unique(bkt_vals).to_pylist():
@@ -251,7 +258,7 @@ def compact_sorted_partitions(
                 continue
             bdir = _os.path.join(sink_spec["abs_dir"], f"bkt={int(b)}")
             _os.makedirs(bdir, exist_ok=True)
-            fn = f"part-{pid:05d}.parquet"
+            fn = f"part-{pid:05d}-a{att}.parquet"
             _pq.write_table(
                 piece,
                 _os.path.join(bdir, fn),

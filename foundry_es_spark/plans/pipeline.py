@@ -85,6 +85,23 @@ def offsets_from_footers(epoch_dir: str) -> dict | None:
     return {"offsets": offsets, "n_events": total, "min_seq": gmin, "max_seq": gmax}
 
 
+def _epoch_schema_fingerprint(epoch_dir: str) -> str | None:
+    """Stable fingerprint of an epoch's event schema from ONE parquet
+    footer (name:type pairs) — the cheap guard that lets batch replay
+    reuse its inferred Spark schema until an epoch actually evolves."""
+    import pyarrow.parquet as pq
+
+    try:
+        for root, _, files in os.walk(epoch_dir):
+            for fn in sorted(files):
+                if fn.endswith(".parquet"):
+                    sch = pq.read_schema(os.path.join(root, fn))
+                    return ";".join(f"{n}:{t}" for n, t in zip(sch.names, sch.types))
+    except OSError:
+        return None
+    return None
+
+
 @dataclass
 class PipelineConfig:
     pipeline_id: str
@@ -239,11 +256,14 @@ class CdcPipeline:
             "offsets": offsets,
         }
         fw = self.cfg.fused_write
+        from foundry_es_spark.lake.backend import supports_fused_sink
+
         if (
             (fw is True or (fw == "auto" and not self.cfg.normalize))
             and self.cfg.merge_mode == "mor"
             and self.cfg.compact_strategy == "sorted"
             and not self.cfg.suppress_no_ops
+            and supports_fused_sink(table)
             and n_events > 0
         ):
             return self._apply_epoch_fused(
@@ -304,12 +324,16 @@ class CdcPipeline:
             # C3's state read is bucket-pruned: the comparison only needs
             # rows whose bucket the batch touches — one narrow distinct
             # over bucket ids (<= n_buckets values) instead of a full
-            # table read per epoch.
+            # table read per epoch. Derived from the RAW valid batch, not
+            # merge_batch: bucket is a function of repo alone and
+            # compaction adds no keys, while a distinct over merge_batch
+            # would execute the whole compaction plan (mapInArrow is a
+            # projection barrier) as an extra job.
             from foundry_es_spark.lake.table import bucket_expr
 
             touched = [
                 r[0]
-                for r in merge_batch.select(
+                for r in valid.select(
                     bucket_expr(self.cfg.n_buckets).alias("b")
                 ).distinct().collect()
             ]
@@ -527,23 +551,26 @@ class CdcPipeline:
         )
         results = []
         schema = None
+        schema_fp = None
         for e in epochs:
             if e < start:
                 continue
             epoch_dir = os.path.join(events_dir, f"epoch={e}")
-            # Infer the event schema once and reuse it: per-epoch schema
-            # inference is a driver-side footer sweep that costs a fixed
-            # ~100 ms per epoch — pure overhead at 10^4+ epochs. A schema
-            # CHANGE between epochs (C7) is still picked up because the
-            # inferred-schema cache is keyed per event directory segment;
-            # evolution phases arrive as separate dirs (fixtures F3) or as
-            # explicit apply_epoch calls.
+            # Reuse the inferred schema across epochs (per-epoch inference
+            # is a fixed ~100 ms footer sweep — pure overhead at 10^4+
+            # epochs) but guard it with a per-epoch footer FINGERPRINT:
+            # in-place schema evolution (an epoch that adds/widens a
+            # column, C7) must re-infer, otherwise reader.schema() would
+            # silently drop the new column. The fingerprint read is one
+            # pyarrow footer — microseconds, not a Spark job.
+            fp = _epoch_schema_fingerprint(epoch_dir)
             reader = self.spark.read
-            if schema is not None:
+            if schema is not None and fp is not None and fp == schema_fp:
                 reader = reader.schema(schema)
-            batch = reader.parquet(epoch_dir)
-            if schema is None:
-                schema = batch.schema
+                batch = reader.parquet(epoch_dir)
+            else:
+                batch = reader.parquet(epoch_dir)
+                schema, schema_fp = batch.schema, fp
             results.append(
                 self.apply_epoch(batch, e, offsets_hint=offsets_from_footers(epoch_dir))
             )

@@ -181,3 +181,52 @@ def test_skew_replay_with_salting(spark, tmp_path):
     # hot repo really dominates
     hot = events.groupBy("repo").count().orderBy(F.desc("count")).first()
     assert hot["count"] > 0.8 * 4000
+
+
+def test_replay_event_dir_inplace_schema_evolution(spark, tmp_path):
+    """C7 through the batch-replay entrypoint with IN-PLACE evolution: a
+    later epoch in the SAME event directory adds a column. The replay's
+    schema cache must re-infer on the fingerprint change — a stale cached
+    schema would silently drop the new column (review finding r2)."""
+    import os
+    import shutil
+
+    (a, b, c), dirs = _write_phases(spark, tmp_path, n_events=1800)
+    combined = str(tmp_path / "events_all")
+    os.makedirs(combined)
+    e = 0
+    for d in dirs:
+        for src in sorted(
+            (x for x in os.listdir(d) if x.startswith("epoch=")),
+            key=lambda x: int(x.split("=")[1]),
+        ):
+            shutil.copytree(os.path.join(d, src), os.path.join(combined, f"epoch={e}"))
+            e += 1
+
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(
+            pipeline_id="evo_inplace",
+            table_dir=str(tmp_path / "table"),
+            rename_map={"meta_license": "license"},
+        ),
+    )
+    pipe.replay_event_dir(combined)
+
+    dtypes = dict(pipe.table.read().dtypes)
+    assert dtypes.get("license") == "string", dtypes
+    assert dtypes.get("n_stars") == "bigint", dtypes
+    got = (
+        pipe.table.read()
+        .select("repo", "path", "content_sha256", "license", "n_stars")
+        .toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    # later-phase columns are actually populated (not silently dropped)
+    assert got["license"].notna().any()
+    assert got["n_stars"].notna().any()
+    expected = fold_events_multi(
+        [a.toPandas(), b.toPandas(), c.toPandas()], extra_cols=["license", "n_stars"]
+    )
+    exp = expected[["repo", "path", "content_sha256", "license", "n_stars"]].reset_index(drop=True)
+    got["n_stars"] = got["n_stars"].astype("Int64")
+    pd.testing.assert_frame_equal(got, exp)

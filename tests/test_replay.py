@@ -122,3 +122,29 @@ def test_dead_letters_quarantined(spark, tmp_path):
     pipe.replay_event_dir(ev_dir)
     assert pipe.dead_letters().count() == 1
     _check_against_oracle(pipe, events)
+
+
+def test_calendar_invalid_date_token_is_not_a_poison_pill(spark, tmp_path):
+    """Content containing a regex-valid but calendar-invalid date token
+    (e.g. 2024-13-99) passes validity and MUST NOT fail the epoch under
+    Spark 4's default ANSI mode (review finding r1): the dats.dates entry
+    keeps the raw token with a null parsed date."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "org/r", "a.txt", "c0", "py",
+         "released 2024-01-02 then 2024-13-99 happened", 0, "I"),
+    ]
+    batch = spark.createDataFrame(
+        rows, "seq long, repo string, path string, commit string, lang string, "
+              "content string, part long, op string",
+    )
+    pipe = CdcPipeline(
+        spark, PipelineConfig(pipeline_id="poison", table_dir=str(tmp_path / "t"))
+    )
+    res = pipe.apply_epoch(batch, 0)  # must not raise
+    assert res["n_keys"] == 1 and res["n_dead_letters"] == 0
+    row = pipe.table.read().select(F.col("dats.dates").alias("dates")).collect()[0]
+    by_raw = {d["raw"]: d["d"] for d in row["dates"]}
+    assert by_raw["2024-13-99"] is None
+    assert str(by_raw["2024-01-02"]) == "2024-01-02"
