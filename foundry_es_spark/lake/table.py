@@ -319,24 +319,37 @@ class LakeTable:
                     }
                 )
 
-            def key_bounds(meta, rg):
+            key_idx = [cur_names.index(k) for k in key_cols]
+
+            def phys_keys(spec):
+                """Physical names of the key columns in this file's schema
+                version (files carry historical names; resolve through the
+                field-id projection like align() does). None when any key
+                column is unmapped in that version — caller falls back."""
+                phys = [proj[spec["sv"]][i] for i in key_idx]
+                return None if any(p is None for p in phys) else phys
+
+            def key_bounds(meta, rg, phys):
                 """Conservative [min,max] combined-key bounds of a row group
                 from per-column stats (per-column min/max bracket the true
                 tuple min/max; parquet stat truncation only widens them, so
                 overlap tests stay safe). Non-string key stats return None
                 — lexicographic edges would misorder numeric keys, so those
-                tables take the whole-bucket path / conservative include."""
+                tables take the whole-bucket path / conservative include.
+                ``phys``: the file's physical key-column names."""
                 names = meta.schema.names
-                vals = {}
-                for k in key_cols:
+                vals = []
+                for k in phys:
+                    if k not in names:
+                        return None
                     st = meta.row_group(rg).column(names.index(k)).statistics
                     if st is None or not st.has_min_max:
                         return None
                     if not (isinstance(st.min, str) and isinstance(st.max, str)):
                         return None
-                    vals[k] = (st.min, st.max)
-                lo = SEP.join(vals[k][0] for k in key_cols)
-                hi = SEP.join(vals[k][1] for k in key_cols)
+                    vals.append((st.min, st.max))
+                lo = SEP.join(v[0] for v in vals)
+                hi = SEP.join(v[1] for v in vals)
                 return lo, hi
 
             def plan_ranges(specs):
@@ -348,9 +361,12 @@ class LakeTable:
                 total = sum(sizes)
                 n_ranges = max(2, -(-total // max(1, range_target)))
                 big = max(range(len(specs)), key=lambda i: sizes[i])
+                big_phys = phys_keys(specs[big])
+                if big_phys is None:
+                    return None
                 cands = []
                 for rg in range(metas[big].num_row_groups):
-                    kb = key_bounds(metas[big], rg)
+                    kb = key_bounds(metas[big], rg, big_phys)
                     if kb is None:
                         return None
                     cands.append(kb[1])
@@ -374,22 +390,35 @@ class LakeTable:
                 cost extra read, never correctness."""
                 pfs = [pq.ParquetFile(spec["path"]) for spec in specs]
                 metas = [pf.metadata for pf in pfs]
+                physes = [phys_keys(spec) for spec in specs]
                 out_idx = 0
                 for lo, hi in zip(edges[:-1], edges[1:]):
                     parts = []
-                    for pf, meta, spec in zip(pfs, metas, specs):
+                    for pf, meta, spec, phys in zip(pfs, metas, specs, physes):
+                        if phys is None or any(
+                            p not in meta.schema.names for p in phys
+                        ):
+                            # Key column unmapped/absent in this file's
+                            # physical schema: align() would null-fill the
+                            # key, and a null key matches no (lo, hi] range
+                            # — nothing from this file can land here.
+                            continue
                         rgs = []
                         for rg in range(meta.num_row_groups):
-                            kb = key_bounds(meta, rg)
+                            kb = key_bounds(meta, rg, phys)
                             if kb is None:
                                 rgs.append(rg)  # no stats → conservative
-                            elif not (kb[1] < lo or kb[0] >= hi):
+                            # Range is (lo, hi]: a group whose min lower-
+                            # bound EQUALS hi may still hold combined == hi
+                            # rows, so prune only on strictly-greater — the
+                            # >= variant silently dropped boundary updates.
+                            elif not (kb[1] < lo or kb[0] > hi):
                                 rgs.append(rg)
                         if not rgs:
                             continue
                         t = pf.read_row_groups(rgs)
                         combined = pc.binary_join_element_wise(
-                            *[pc.cast(t.column(k), pa.string()) for k in key_cols],
+                            *[pc.cast(t.column(k), pa.string()) for k in phys],
                             SEP,
                         )
                         m = pc.less_equal(combined, hi)
@@ -420,14 +449,14 @@ class LakeTable:
                         # Selective lookups push the repo predicate into the
                         # parquet read: files are key-sorted, so min/max row-
                         # group stats skip everything but the target repos.
-                        t = pq.read_table(
-                            spec["path"],
-                            filters=(
-                                [("repo", "in", filter_repos)]
-                                if filter_repos
-                                else None
-                            ),
-                        )
+                        # The predicate must use the file's PHYSICAL column
+                        # name (historical schemas may carry a renamed key).
+                        flt = None
+                        if filter_repos:
+                            phys_repo = proj[spec["sv"]][key_idx[0]]
+                            if phys_repo is not None:
+                                flt = [(phys_repo, "in", filter_repos)]
+                        t = pq.read_table(spec["path"], filters=flt)
                         parts.append(align(t, spec))
                     out = dedup(parts)
                     if out is None:
@@ -1000,14 +1029,34 @@ class LakeTable:
             self.compact_buckets(buckets, files_per_bucket=files_per_bucket)
 
     def vacuum(self) -> int:
-        """Delete data directories not referenced by the current snapshot."""
+        """Delete data directories not referenced by the current snapshot,
+        plus unreferenced files INSIDE referenced version dirs — the fused
+        task-writer sinks write attempt-suffixed files (part-*-a{attempt})
+        straight into the version dir, so a lost speculative/retried
+        attempt leaves debris the snapshot never references. Returns the
+        number of directories + files removed."""
         rec = self._current()
         live_dirs = {f["path"].split("/")[1] for f in rec["files"]}
+        live_files = {
+            os.path.normpath(os.path.join(self.table_dir, f["path"]))
+            for f in rec["files"]
+        }
         data_root = os.path.join(self.table_dir, "data")
         removed = 0
         if os.path.isdir(data_root):
             for d in os.listdir(data_root):
+                vd = os.path.join(data_root, d)
                 if d not in live_dirs:
-                    shutil.rmtree(os.path.join(data_root, d))
+                    shutil.rmtree(vd)
                     removed += 1
+                    continue
+                for root, _dirs, fns in os.walk(vd, topdown=False):
+                    for fn in fns:
+                        p = os.path.normpath(os.path.join(root, fn))
+                        if p not in live_files:
+                            os.remove(p)
+                            removed += 1
+                    # drop now-empty bucket subdirs (never the version dir)
+                    if root != vd and not os.listdir(root):
+                        os.rmdir(root)
         return removed

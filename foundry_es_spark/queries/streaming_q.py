@@ -335,7 +335,27 @@ def q23b_stream_stateful_custom(spark, sf):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
-    return _run_stream(spark, sf, build, output_mode="update")
+    res = _run_stream(spark, sf, build, output_mode="update")
+    # The update-mode memory sink appends one row per key per trigger; only
+    # the LAST emission per key is the final state. n_events is strictly
+    # increasing across a key's emissions (the fold is only invoked for
+    # keys with batch data), so max_by(n_events) selects it exactly —
+    # correct at any maxFilesPerTrigger / source-file count, not just the
+    # single-trigger layout the testdata happens to have.
+    return (
+        res.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "total_value", "longest_run"), "n_events"
+            ).alias("r")
+        )
+        .select(
+            "user_id",
+            F.col("r.n_events").alias("n_events"),
+            F.col("r.total_value").alias("total_value"),
+            F.col("r.longest_run").alias("longest_run"),
+        )
+    )
 
 
 Q23B_SQL = """

@@ -196,6 +196,39 @@ def test_compact_and_vacuum(spark, tmp_table):
     assert removed >= 1
 
 
+def test_vacuum_removes_attempt_debris_in_live_dirs(spark, tmp_table):
+    """Round-2 review: lost speculative/retried fused-sink attempts leave
+    part-*-a{attempt} files inside COMMITTED version dirs; dir-level vacuum
+    never reclaimed them. Vacuum must delete unreferenced files within
+    referenced dirs while leaving every snapshot-referenced file alone."""
+    import os
+
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=4)
+    for i in range(3):
+        t.merge_upsert(_batch(spark, [(f"r{i}", "a", "c0", "py", f"v{i}", i, "I")]))
+    before = sorted((r.repo, r.content) for r in t.read().collect())
+
+    # plant debris: a fake lost-attempt file beside a live one, plus an
+    # empty orphan bucket dir
+    rec = t._current()
+    live = os.path.join(t.table_dir, rec["files"][0]["path"])
+    debris = os.path.join(os.path.dirname(live), "part-00099-a7.parquet")
+    with open(debris, "wb") as fh:
+        fh.write(b"not really parquet")
+    orphan_dir = os.path.join(os.path.dirname(os.path.dirname(live)), "bkt=99")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-00000-a3.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"junk")
+
+    removed = t.vacuum()
+    assert removed >= 2
+    assert not os.path.exists(debris)
+    assert not os.path.exists(orphan)
+    assert os.path.exists(live)
+    assert sorted((r.repo, r.content) for r in t.read().collect()) == before
+
+
 def test_concurrent_writer_conflict(spark, tmp_table):
     """Optimistic concurrency: two writers racing the same version — the
     loser gets CommitConflict and the table reflects exactly one commit

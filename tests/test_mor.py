@@ -170,6 +170,84 @@ def test_mor_resume_mid_stream(spark, tmp_path):
     assert _digest(p2.table.read()) == full
 
 
+def test_ranged_merge_boundary_edge_update(spark, tmp_path, monkeypatch):
+    """Regression (round-2 review): a single-row delta update for a key that
+    is a base row-group max lands EXACTLY on a plan_ranges edge. The range
+    filter is (lo, hi] inclusive of hi, so pruning groups with kb[0] >= hi
+    dropped that update silently — the stale base row won (data loss /
+    tombstone resurrection in fused compaction). Pin that an edge-key
+    update survives the ranged path."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from foundry_es_spark.lake import LakeTable
+
+    tmp = str(tmp_path)
+    ev = gen_change_events(spark, n_events=2000, n_keys=600)
+    write_event_log(ev, f"{tmp}/events", epoch_size=2000)  # one epoch
+
+    monkeypatch.setattr(LakeTable, "parquet_row_group_rows", 40)
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(pipeline_id="edge", table_dir=f"{tmp}/t", n_buckets=1,
+                       merge_mode="mor", compact_threshold=10**9),
+    )
+    pipe.replay_event_dir(f"{tmp}/events")
+    pipe.table.compact_buckets([0])  # one key-sorted base file, 40-row groups
+
+    rec = pipe.table._current()
+    [base] = [f for f in rec["files"] if not f.get("delta")]
+    meta = _pq.ParquetFile(_os.path.join(pipe.table.table_dir, base["path"])).metadata
+    assert meta.num_row_groups >= 3, "need interior row groups for edges"
+    names = meta.schema.names
+    ri, pi = names.index("repo"), names.index("path")
+
+    # pick an interior row group whose per-column maxes form a REAL key
+    # (file is key-sorted, so the last row usually is exactly that); with
+    # step=1 subsampling (range_target=1) every interior rg max is an edge.
+    tbl = _pq.read_table(_os.path.join(pipe.table.table_dir, base["path"]),
+                         columns=["repo", "path"])
+    edge_key = None
+    for rg in range(meta.num_row_groups - 1):
+        st_r = meta.row_group(rg).column(ri).statistics
+        st_p = meta.row_group(rg).column(pi).statistics
+        last = sum(meta.row_group(g).num_rows for g in range(rg + 1)) - 1
+        row = tbl.slice(last, 1).to_pylist()[0]
+        if (row["repo"], row["path"]) == (st_r.max, st_p.max):
+            edge_key = (row["repo"], row["path"])
+            break
+    assert edge_key is not None, "no row group with aligned max stats"
+
+    upd = spark.createDataFrame(
+        [(10_000, "U", edge_key[0], edge_key[1], "cafebabe", "python",
+          "EDGE-UPDATED CONTENT v2", 0)],
+        "seq long, op string, repo string, path string, commit string, "
+        "lang string, content string, part int",
+    ).withColumn("ts", F.timestamp_millis(F.lit(1767225600000) + F.col("seq")))
+    pipe.apply_epoch(upd, 1)
+
+    def _edge_row(df):
+        return df.where(
+            (F.col("repo") == edge_key[0]) & (F.col("path") == edge_key[1])
+        ).select("commit", "content_sha256").collect()
+
+    whole = _digest(pipe.table.read())
+    assert _edge_row(pipe.table.read())[0]["commit"] == "cafebabe"
+
+    monkeypatch.setattr(LakeTable, "merge_range_target_bytes", 1)
+    ranged_df = pipe.table.read()
+    assert _digest(ranged_df) == whole
+    rows = _edge_row(ranged_df)
+    assert len(rows) == 1 and rows[0]["commit"] == "cafebabe"
+
+    # fused ranged compaction must also keep the edge update (permanent
+    # loss there, not just a read artifact)
+    pipe.table.compact_buckets([0])
+    rows = _edge_row(pipe.table.read())
+    assert len(rows) == 1 and rows[0]["commit"] == "cafebabe"
+
+
 def test_ranged_merge_bounded_memory_path(spark, tmp_path, monkeypatch):
     """Buckets above merge_range_target_bytes merge range-by-range (the
     bounded-memory path for 100GB buckets). Force it on toy data — tiny

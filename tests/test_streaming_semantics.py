@@ -164,3 +164,74 @@ def test_q22_plan_uses_watermarked_dedup(spark, tmp_path):
     got = {r["event_type"]: (r["n"], r["n_users"]) for r in res.collect()}
     want = {r["event_type"]: (r["n"], r["n_users"]) for r in exp.collect()}
     assert got == want
+
+
+def test_q23b_multi_trigger_reduces_to_final_state(spark, tmp_path, monkeypatch):
+    """Round-2 review: q23b's update-mode memory sink appends one row per
+    key per trigger, so its oracle equality held only because the testdata
+    dir had a single file <= maxFilesPerTrigger. Force a genuine
+    multi-trigger run (events split into time-contiguous slices fed
+    one-per-trigger) and assert the reduced result STILL equals the static
+    gaps-and-islands oracle — this exercises both the final-state reduction
+    and the cross-trigger state carry of the longest-run fold."""
+    from pyspark.sql import Window as W
+
+    from foundry_es_spark.queries import streaming_q as sq
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    n = ev.count()
+    slice_sz = -(-n // 3)
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(W.orderBy("ts", "event_id")) - 1
+    )
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    for i in range(3):
+        sub = os.path.join(d, f"stage{i}")
+        (
+            ranked.where(
+                (F.col("rn") >= i * slice_sz) & (F.col("rn") < (i + 1) * slice_sz)
+            )
+            .drop("rn")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(sub)
+        )
+        src = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+        target = os.path.join(d, f"f{i}.parquet")
+        os.replace(os.path.join(sub, src), target)
+        os.utime(target, (time.time() + i, time.time() + i))
+
+    monkeypatch.setattr(sq, "_events_stream_dir", lambda _sf: d)
+    orig = sq._run_stream
+
+    def one_file_per_trigger(spark, sf, build, n_files=4, output_mode=None):
+        return orig(spark, sf, build, n_files=1, output_mode=output_mode)
+
+    monkeypatch.setattr(sq, "_run_stream", one_file_per_trigger)
+
+    got = (
+        sq.q23b_stream_stateful_custom(spark, sf)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    exp = (
+        con.execute(sq.Q23B_SQL).df().sort_values("user_id").reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["user_id"].to_numpy() == exp["user_id"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+    assert (got["longest_run"].to_numpy() == exp["longest_run"].to_numpy()).all()
+    assert abs(got["total_value"].to_numpy() - exp["total_value"].to_numpy()).max() < 1e-6
