@@ -192,7 +192,12 @@ class IcebergBackend:
             batch.createOrReplaceTempView(view)
         self._run(self.merge_sql(view))
         if callable(info):
-            info = info()
+            # The info callback may carry Observation-backed stats that only
+            # resolve once the source plan has EXECUTED (the pipeline's
+            # epoch-body contract: "invoke post-write"). In plan mode the
+            # MERGE never runs, so calling it would block forever — record
+            # stats only when the statement really executed.
+            info = info() if self.execute else None
         if fence:
             self._advance_fence_sql(*fence)
         return {"buckets_rewritten": -1, "files_written": -1, "epoch_info": info}

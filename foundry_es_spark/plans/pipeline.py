@@ -131,27 +131,52 @@ class PipelineConfig:
     compact_rows_per_task: int = 50_000  # sorted strategy: target rows per compaction task
                                          # (sets explicit partition count = rows/target,
                                          # clamped to the (bucket x salt) grid)
+    backend: object | None = None    # injected TableBackend (S5 seam, SURVEY §4.4).
+                                     # None = LocalLakeBackend (LakeTable) built from
+                                     # table_dir. Pass an IcebergBackend to run the
+                                     # SAME epoch body against Iceberg MERGE INTO /
+                                     # ALTER TABLE SQL; table_dir then only hosts the
+                                     # pipeline's system dirs (dead-letter quarantine).
 
 
 class CdcPipeline:
     def __init__(self, spark: SparkSession, config: PipelineConfig):
         self.spark = spark
         self.cfg = config
+        if config.backend is not None:
+            from foundry_es_spark.lake.backend import TableBackend
+
+            if not isinstance(config.backend, TableBackend):
+                raise TypeError(
+                    "config.backend must implement the TableBackend protocol; "
+                    f"got {type(config.backend).__name__}"
+                )
 
     # ------------------------------------------------------------- table
 
-    def ensure_table(self) -> LakeTable:
-        if LakeTable.exists(self.cfg.table_dir):
-            return LakeTable(self.spark, self.cfg.table_dir)
+    def ensure_table(self):
+        """The injected backend, or a LocalLakeBackend from table_dir.
+        Everything past this point consumes only the TableBackend protocol
+        (lake/backend.py) — the epoch body is backend-agnostic."""
         fields = [(f.name, f.dataType.simpleString()) for f in BASE_SCHEMA.fields]
         if self.cfg.normalize:
             fields += NORMALIZED_FIELDS
+        be = self.cfg.backend
+        if be is not None:
+            # first touch: create the table if the backend has no schema yet
+            # (create() is backend-specific — outside the protocol — so
+            # pre-created backends simply skip this)
+            if not be.schema_fields() and hasattr(be, "create"):
+                be.create(fields)
+            return be
+        if LakeTable.exists(self.cfg.table_dir):
+            return LakeTable(self.spark, self.cfg.table_dir)
         return LakeTable.create(
             self.spark, self.cfg.table_dir, fields, n_buckets=self.cfg.n_buckets
         )
 
     @property
-    def table(self) -> LakeTable:
+    def table(self):
         return self.ensure_table()
 
     def _compact_partitions(self, n_events: int) -> int:

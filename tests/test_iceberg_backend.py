@@ -109,6 +109,73 @@ def test_both_backends_satisfy_protocol(spark, tmp_path):
     assert isinstance(berg, TableBackend)
 
 
+def test_pipeline_epoch_body_over_iceberg_backend(spark, tmp_path):
+    """The seam CLOSED (round-2 item 1): the SAME CdcPipeline epoch body —
+    validate → compact → evolve → merge → fence — runs end-to-end against
+    an injected IcebergBackend, consuming only the TableBackend protocol.
+    Plan mode pins the exact per-epoch statement sequence a cluster
+    deployment issues: [create once] → evolve (when needed) → MERGE INTO →
+    fence; re-delivery of a fenced epoch issues NOTHING."""
+    from pyspark.sql import functions as F
+
+    from foundry_es_spark.fixtures import gen_change_events
+    from foundry_es_spark.plans import CdcPipeline, PipelineConfig
+
+    be = IcebergBackend(spark, "lake.db.cdc", n_buckets=8)
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(
+            pipeline_id="ice", table_dir=str(tmp_path / "sys"), n_buckets=8,
+            backend=be, normalize=False,
+        ),
+    )
+    ev = gen_change_events(spark, n_events=500, n_keys=100)
+
+    res = pipe.apply_epoch(ev, 0)
+    assert res["skipped"] is False and res["n_events"] == 500
+
+    # epoch 0 statement sequence: create DDL (first touch), identifier
+    # fields, MERGE INTO, fence — in that exact order, nothing else
+    assert len(be.sql_log) == 4, be.sql_log
+    assert be.sql_log[0].startswith("CREATE TABLE IF NOT EXISTS lake.db.cdc")
+    assert be.sql_log[1] == "ALTER TABLE lake.db.cdc SET IDENTIFIER FIELDS repo, path"
+    assert be.sql_log[2] == (
+        "MERGE INTO lake.db.cdc t USING graft_merge_src s "
+        "ON t.repo = s.repo AND t.path = s.path "
+        "WHEN MATCHED AND s._seq > t._seq AND s._op = 'D' THEN DELETE "
+        "WHEN MATCHED AND s._seq > t._seq THEN UPDATE SET "
+        "t.repo = s.repo, t.path = s.path, t.commit = s.commit, t.lang = s.lang, "
+        "t.content = s.content, t._seq = s._seq, t._op = s._op "
+        "WHEN NOT MATCHED AND s._op != 'D' THEN INSERT "
+        "(repo, path, commit, lang, content, _seq, _op) VALUES "
+        "(s.repo, s.path, s.commit, s.lang, s.content, s._seq, s._op)"
+    )
+    assert be.sql_log[3] == (
+        "ALTER TABLE lake.db.cdc SET TBLPROPERTIES ('graft.fence.ice' = '0')"
+    )
+
+    # epoch 1 carries a new payload column: evolve → MERGE (now with the
+    # column) → fence
+    n0 = len(be.sql_log)
+    evolved = ev.withColumn("n_stars", F.lit(5))
+    res1 = pipe.apply_epoch(evolved, 1)
+    assert res1["skipped"] is False
+    seq = be.sql_log[n0:]
+    assert seq[0] == "ALTER TABLE lake.db.cdc ADD COLUMN n_stars INT"
+    assert "t.n_stars = s.n_stars" in seq[1] and seq[1].startswith("MERGE INTO")
+    assert seq[2] == (
+        "ALTER TABLE lake.db.cdc SET TBLPROPERTIES ('graft.fence.ice' = '1')"
+    )
+    assert len(seq) == 3
+
+    # C5 over the protocol: re-delivering a fenced epoch is a full no-op
+    n1 = len(be.sql_log)
+    assert pipe.apply_epoch(ev, 0)["skipped"] is True
+    assert pipe.apply_epoch(evolved, 1)["skipped"] is True
+    assert len(be.sql_log) == n1
+    assert be.last_epoch("ice") == 1
+
+
 def test_time_travel_and_changelog_golden(be):
     assert be.read_at_version_sql(123456789) == (
         "SELECT repo, path, commit, lang, content FROM lake.db.code "
