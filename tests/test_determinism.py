@@ -85,3 +85,58 @@ def test_lang_id_udf_has_no_per_row_python():
     src = inspect.getsource(_lang_id_udf.func)
     code = "\n".join(ln.split("#", 1)[0] for ln in src.splitlines())
     assert ".map(lambda" not in code and ".apply(lambda" not in code
+
+
+def test_recall_monotone_in_nprobe_and_tables(spark):
+    """VERDICT r2 item 5: the recall knobs. IVF `n_probe` and LSH
+    `n_tables` must be monotone non-decreasing in recall vs the exact
+    brute-force top-k, strictly improving from the minimum to the maximum
+    setting at this scale — and deterministic at every setting."""
+    from foundry_es_spark.queries.similarity import (
+        ann_bruteforce_topk,
+        ann_ivf_probe,
+        ann_lsh_bucketed,
+    )
+
+    bf = {(r.q_id, r.n_id) for r in ann_bruteforce_topk(spark, SF).collect()}
+
+    ivf = []
+    for n_probe in (1, 2, 3):
+        hit = {(r.q_id, r.n_id) for r in ann_ivf_probe(spark, SF, n_probe=n_probe).collect()}
+        ivf.append(len(bf & hit) / len(bf))
+    assert ivf == sorted(ivf), ivf
+    assert ivf[-1] > ivf[0], ivf
+
+    lsh = []
+    for n_tables in (1, 3):
+        hit = {(r.q_id, r.n_id) for r in ann_lsh_bucketed(spark, SF, n_tables=n_tables).collect()}
+        lsh.append(len(bf & hit) / len(bf))
+    assert lsh == sorted(lsh), lsh
+    assert lsh[-1] > lsh[0], lsh
+
+    # determinism at a non-default setting (repeated invocation, same rows)
+    a = sorted(tuple(r) for r in ann_ivf_probe(spark, SF, n_probe=3).collect())
+    b = sorted(tuple(r) for r in ann_ivf_probe(spark, SF, n_probe=3).collect())
+    assert a == b and len(a) > 0
+
+
+def test_ann_plans_have_no_corpus_side_shuffle(spark):
+    """VERDICT r2 root-cause guard: IVF assignment must be a projection
+    (driver-resident centroids), not a crossJoin + window over the corpus;
+    LSH candidate dedup must be a filter, not a dropDuplicates exchange.
+    Both plans get exactly ONE Window (the final per-query top-k) and
+    exchanges only AFTER the broadcast candidate join."""
+    from foundry_es_spark.queries.similarity import ann_ivf_probe, ann_lsh_bucketed
+
+    import re
+
+    for fn, kw in ((ann_ivf_probe, {"n_probe": 2}), (ann_lsh_bucketed, {"n_tables": 2})):
+        plan = fn(spark, SF, **kw)._jdf.queryExecution().executedPlan().toString()
+        # exactly one Window OPERATOR (the final top-k); WindowGroupLimit
+        # push-down nodes are fine and expected
+        assert len(re.findall(r"[+:]- Window ", plan)) == 1, (fn.__name__, plan)
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        # structural check: the ONLY hash-partitioning exchange is the
+        # top-k's — never a corpus assignment window or dedup shuffle
+        hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert hash_exchanges == 1, (fn.__name__, hash_exchanges, plan)
