@@ -141,6 +141,69 @@ def run_replay(
     }
 
 
+def run_streaming_replay(spark, events_dir: str, table_dir: str, warmup: int = 1) -> dict:
+    """S1 ingest path (VERDICT r2 item 9): the SAME epoch body driven by
+    Structured Streaming `readStream -> foreachBatch` (streaming/run.py)
+    instead of the batch loop, over the same event log. Sustained rate =
+    median over post-warmup triggers of numInputRows / triggerExecution,
+    so the figure is comparable to batch replay's median-epoch rate."""
+    import glob
+
+    from foundry_es_spark.plans import CdcPipeline, PipelineConfig
+    from foundry_es_spark.streaming import run_stream
+
+    shutil.rmtree(table_dir, ignore_errors=True)
+    ckpt = table_dir + "_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(
+            pipeline_id="bench_stream",
+            table_dir=table_dir,
+            n_buckets=64,
+            files_per_bucket=2,
+            salt_partitions=0,
+            merge_mode="mor",
+        ),
+    )
+    # one epoch's worth of files per trigger — same batch granularity as
+    # the batch loop (file source fills triggers up to the cap)
+    files_per_epoch = len(
+        glob.glob(os.path.join(events_dir, "epoch=0", "part=*", "*.parquet"))
+    )
+    t0 = time.monotonic()
+    q = run_stream(
+        spark,
+        pipe,
+        events_dir,
+        ckpt,
+        max_files_per_trigger=max(1, files_per_epoch),
+        await_termination=True,
+    )
+    wall = time.monotonic() - t0
+    prog = [json.loads(p.json) for p in q.recentProgress]
+    batches = [
+        p
+        for p in prog
+        if p.get("numInputRows", 0) > 0 and "triggerExecution" in p.get("durationMs", {})
+    ]
+    rates = sorted(
+        p["numInputRows"] / (p["durationMs"]["triggerExecution"] / 1000.0)
+        for p in batches[min(warmup, max(0, len(batches) - 1)):]
+    )
+    med = rates[len(rates) // 2] if len(rates) % 2 else (
+        rates[len(rates) // 2 - 1] + rates[len(rates) // 2]
+    ) / 2
+    return {
+        "events": N_EVENTS,
+        "triggers": len(batches),
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(med, 1),
+        "final_rows": pipe.table.read().count(),
+        "mode": "mor",
+    }
+
+
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     from foundry_es_spark.queries import all_queries
 
@@ -277,7 +340,7 @@ def main() -> None:
         master=f"local[{args.cpus}]", shuffle_partitions=max(8, 4 * args.cpus), app_name="bench"
     )
     t0 = time.monotonic()
-    replay = replication = None
+    replay = replication = streaming = None
     if not args.skip_replay:
         events_dir = ensure_event_log(spark)
         replay = run_replay(spark, events_dir, os.path.join(BENCH_ROOT, "table_main"), mode=args.mode)
@@ -290,6 +353,9 @@ def main() -> None:
             spark, events_dir, os.path.join(BENCH_ROOT, "table_repl"),
             mode="mor", normalize=False, fused_write=True,
         )
+        streaming = run_streaming_replay(
+            spark, events_dir, os.path.join(BENCH_ROOT, "table_stream")
+        )
     queries = run_queries(spark, SF_DIR)
     total = round(time.monotonic() - t0, 3)
     out = {
@@ -300,6 +366,7 @@ def main() -> None:
         "sf": _sf_of(SF_DIR),
         "replay": replay,
         "replay_replication": replication,
+        "replay_streaming": streaming,
         "cpus": args.cpus,
         "query_total_sec": round(sum(queries.values()), 3),
     }

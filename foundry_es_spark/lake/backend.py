@@ -34,7 +34,7 @@ class TableBackend(Protocol):
     def append_delta(self, batch: DataFrame, fence=None, files_per_bucket: int = 1,
                      info=None, pre_partitioned: bool = False) -> dict: ...
     def merge_upsert(self, batch: DataFrame, fence=None, files_per_bucket: int = 1,
-                     info=None) -> dict: ...
+                     info=None, touched_buckets: list[int] | None = None) -> dict: ...
 
     # --- maintenance
     def bucket_delta_generations(self) -> dict[int, int]: ...

@@ -186,7 +186,10 @@ class IcebergBackend:
             f"WHEN NOT MATCHED AND s._op != 'D' THEN INSERT ({names}) VALUES ({vals})"
         )
 
-    def merge_upsert(self, batch: DataFrame, fence=None, files_per_bucket: int = 1, info=None) -> dict:
+    def merge_upsert(self, batch: DataFrame, fence=None, files_per_bucket: int = 1,
+                     info=None, touched_buckets: list[int] | None = None) -> dict:
+        # touched_buckets is accepted for protocol parity and ignored:
+        # Iceberg prunes bucket partitions from the MERGE's join predicate.
         view = "graft_merge_src"
         if self.execute:
             batch.createOrReplaceTempView(view)

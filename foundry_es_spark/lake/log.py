@@ -26,14 +26,39 @@ def _version_path(table_dir: str, version: int) -> str:
     return os.path.join(log_dir(table_dir), f"v{version:08d}.json")
 
 
+def _head_path(table_dir: str) -> str:
+    return os.path.join(log_dir(table_dir), "HEAD")
+
+
 def current_version(table_dir: str) -> int | None:
+    """Latest committed version — O(1) via the HEAD pointer, not an
+    O(versions) directory listing (VERDICT r2 item 7: at 10^4 epochs the
+    per-epoch listdir was a growing driver cost). HEAD is written AFTER
+    the version link and is therefore never ahead of reality; a crash
+    between link and HEAD update leaves it at most a few versions behind,
+    which the forward probe repairs. Missing/corrupt HEAD falls back to
+    the full listing."""
     d = log_dir(table_dir)
     if not os.path.isdir(d):
         return None
-    versions = [
-        int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
-    ]
-    return max(versions) if versions else None
+    v: int | None = None
+    try:
+        with open(_head_path(table_dir)) as fh:
+            v = int(fh.read().strip())
+        if not os.path.exists(_version_path(table_dir, v)):
+            v = None  # corrupt/ahead HEAD: distrust it
+    except (OSError, ValueError):
+        v = None
+    if v is None:
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(d)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions) if versions else None
+    while os.path.exists(_version_path(table_dir, v + 1)):
+        v += 1
+    return v
 
 
 def read_commit(table_dir: str, version: int) -> dict:
@@ -57,3 +82,12 @@ def write_commit(table_dir: str, record: dict) -> None:
         raise CommitConflict(f"version {record['version']} already committed") from exc
     finally:
         os.unlink(tmp)
+    # Advance HEAD (best-effort, atomic replace). Concurrent writers may
+    # race; HEAD only ever lags, and current_version probes forward.
+    try:
+        htmp = os.path.join(d, f".head-{uuid.uuid4().hex}")
+        with open(htmp, "w") as fh:
+            fh.write(str(record["version"]))
+        os.replace(htmp, _head_path(table_dir))
+    except OSError:  # pragma: no cover - HEAD is an optimization only
+        pass

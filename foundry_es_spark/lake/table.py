@@ -137,6 +137,23 @@ class LakeTable:
         rec.pop("epoch_info", None)
         return rec
 
+    def _commit(self, record: dict) -> None:
+        """Publish a commit record with DEAD schema versions pruned: only
+        versions referenced by a live file (plus the current one) ride
+        forward, so the record's size tracks the LIVE table, not its full
+        evolution history (VERDICT r2 item 7). Historical commits keep
+        their own schema copies — time travel reads them directly, and
+        the change feed resolves old file schemas from the commit that
+        added the files."""
+        live = {str(record["schema_version"])} | {
+            str(f["schema_version"]) for f in record.get("files", [])
+        }
+        record = {
+            **record,
+            "schemas": {k: v for k, v in record["schemas"].items() if k in live},
+        }
+        commitlog.write_commit(self.table_dir, record)
+
     def schema_fields(self, rec: dict | None = None, schema_version: int | None = None) -> list[LakeField]:
         rec = rec or self._current()
         sv = rec["schema_version"] if schema_version is None else schema_version
@@ -612,32 +629,65 @@ class LakeTable:
         a change feed is only available for MoR-written tables.
 
         All versions are projected to the CURRENT schema by stable field
-        id, so renames/adds/widenings do not fragment the feed."""
+        id, so renames/adds/widenings do not fragment the feed.
+
+        Scale shape (VERDICT r2 item 4): the plan is O(schema-versions),
+        NOT O(versions). A 10^10-event replay has 10^3–10^4 commits; one
+        scan per commit made the feed a thousand-way union whose plan
+        build alone blew up the driver. Delta files are grouped by
+        schema_version and each group is ONE multi-path parquet scan;
+        ``_commit_version`` is recovered per row from the file path
+        (``data/c{v:08d}/`` is the commit the file was added in — the
+        same invariant the per-version loop selected on)."""
         cur = commitlog.current_version(self.table_dir)
         if cur is None:
             raise ValueError(f"no table at {self.table_dir}")
         to_version = cur if to_version is None else to_version
         cur_rec = self._current()
-        parts: list[DataFrame] = []
+        by_sv: dict[int, list[str]] = {}
+        # Historical schemas come from the commit that ADDED the files —
+        # the current record prunes schema versions no live file uses
+        # (:meth:`_commit`), so a since-compacted delta's version may be
+        # absent from it.
+        sv_fields: dict[int, list[LakeField]] = {}
         for v in range(from_version, to_version + 1):
             prefix = f"data/c{v:08d}/"
             rec_v = commitlog.read_commit(self.table_dir, v)
-            added = [
-                f
-                for f in rec_v["files"]
-                if f.get("delta") and f["path"].startswith(prefix)
-            ]
-            if added:
-                parts.append(
-                    self._read_files(cur_rec, added).withColumn(
-                        "_commit_version", F.lit(v).cast("long")
+            for f in rec_v["files"]:
+                if f.get("delta") and f["path"].startswith(prefix):
+                    sv = f["schema_version"]
+                    by_sv.setdefault(sv, []).append(
+                        os.path.join(self.table_dir, f["path"])
                     )
-                )
-        if not parts:
-            schema = _fields_to_struct(self.schema_fields(cur_rec), with_sys=True).add(
+                    if sv not in sv_fields:
+                        sv_fields[sv] = [
+                            LakeField.from_json(d)
+                            for d in rec_v["schemas"][str(sv)]
+                        ]
+        cur_fields = self.schema_fields(cur_rec)
+        if not by_sv:
+            schema = _fields_to_struct(cur_fields, with_sys=True).add(
                 "_commit_version", T.LongType()
             )
             return self.spark.createDataFrame([], schema)
+        commit_ver = F.regexp_extract(
+            F.input_file_name(), r"/data/c(\d{8})/", 1
+        ).cast("long")
+        parts: list[DataFrame] = []
+        for sv, paths in sorted(by_sv.items()):
+            old_fields = sv_fields[sv]
+            phys = _fields_to_struct(old_fields, with_sys=True)
+            df = self.spark.read.schema(phys).parquet(*paths)
+            old_by_id = {f.id: f for f in old_fields}
+            select: list = []
+            for cf in cur_fields:
+                of = old_by_id.get(cf.id)
+                if of is None:
+                    select.append(F.lit(None).cast(cf.type).alias(cf.name))
+                else:
+                    select.append(F.col(of.name).cast(cf.type).alias(cf.name))
+            select += [F.col("_seq"), F.col("_op"), commit_ver.alias("_commit_version")]
+            parts.append(df.select(*select))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -711,10 +761,7 @@ class LakeTable:
         fences = rec["fences"]
         if fence:
             fences = self._advance_fence(fences, fence[0], fence[1])
-        commitlog.write_commit(
-            self.table_dir,
-            {**rec, "version": version, "files": files, "fences": fences},
-        )
+        self._commit({**rec, "version": version, "files": files, "fences": fences})
 
     def append_delta(
         self,
@@ -762,7 +809,7 @@ class LakeTable:
             if callable(info):
                 info = info()  # post-write: lets Observation-based stats resolve
             record["epoch_info"] = {**info, **stats}
-        commitlog.write_commit(self.table_dir, record)
+        self._commit(record)
         return stats
 
     def begin_delta_version(self) -> tuple[int, str]:
@@ -818,7 +865,7 @@ class LakeTable:
             if callable(info):
                 info = info()
             record["epoch_info"] = {**info, **stats}
-        commitlog.write_commit(self.table_dir, record)
+        self._commit(record)
         return stats
 
     def fence_epoch_only(self, pipeline_id: str, epoch_id: int, info: dict | None = None) -> None:
@@ -832,7 +879,7 @@ class LakeTable:
         }
         if info is not None:
             record["epoch_info"] = info
-        commitlog.write_commit(self.table_dir, record)
+        self._commit(record)
 
     def bucket_file_counts(self) -> dict[int, int]:
         """files per bucket (driver-side, from the commit record — no job)."""
@@ -881,9 +928,7 @@ class LakeTable:
             {"path": r["path"], "bucket": int(r["bucket"]), "schema_version": rec["schema_version"]}
             for r in meta.collect()
         ]
-        commitlog.write_commit(
-            self.table_dir, {**rec, "version": version, "files": keep + new_files}
-        )
+        self._commit({**rec, "version": version, "files": keep + new_files})
         return {"buckets_rewritten": len(bset), "files_written": len(new_files)}
 
     def merge_upsert(
@@ -892,6 +937,7 @@ class LakeTable:
         fence: tuple[str, int] | None = None,
         files_per_bucket: int = 1,
         info: dict | None = None,
+        touched_buckets: list[int] | None = None,
     ) -> dict:
         """MERGE INTO equivalent, conditional on event order:
 
@@ -902,12 +948,24 @@ class LakeTable:
         `batch` must be pre-compacted (one row per key — operators.cdc) and
         carry current user columns + `_seq` + `_op`. Only buckets touched by
         the batch are rewritten. Returns merge stats for lineage.
-        """
+
+        ``touched_buckets``: caller-supplied bucket ids covering the batch
+        (bucket is a pure function of repo, so the pipeline derives them
+        from the cheap RAW batch — plans/pipeline.py). Without the hint a
+        ``distinct().collect()`` on the batch's bucket column must run,
+        which re-executes the whole upstream plan when it contains a
+        Python stage (mapInArrow is a projection barrier) — the VERDICT
+        r2 item-8 cost. A superset is safe: untouched buckets rewrite to
+        identical contents."""
         rec = self._current()
         n_buckets = rec["n_buckets"]
         batch = batch.withColumn("bkt", bucket_expr(n_buckets))
 
-        affected = [r[0] for r in batch.select("bkt").distinct().collect()]
+        affected = (
+            sorted(set(touched_buckets))
+            if touched_buckets is not None
+            else [r[0] for r in batch.select("bkt").distinct().collect()]
+        )
         target_files = [f for f in rec["files"] if f["bucket"] in set(affected)]
         keep_files = [f for f in rec["files"] if f["bucket"] not in set(affected)]
 
@@ -951,22 +1009,21 @@ class LakeTable:
             record["epoch_info"] = {**info, **stats}
         else:
             record.pop("epoch_info", None)
-        commitlog.write_commit(self.table_dir, record)
+        self._commit(record)
         return stats
 
     # ----------------------------------------------------- schema evolution
 
     def _commit_schema(self, rec: dict, new_fields: list[LakeField], next_field_id: int) -> None:
         sv = rec["schema_version"] + 1
-        commitlog.write_commit(
-            self.table_dir,
+        self._commit(
             {
                 **rec,
                 "version": rec["version"] + 1,
                 "schema_version": sv,
                 "schemas": {**rec["schemas"], str(sv): [f.to_json() for f in new_fields]},
                 "next_field_id": next_field_id,
-            },
+            }
         )
 
     def add_column(self, name: str, type_ddl: str) -> None:

@@ -316,18 +316,44 @@ def snapshot_diff_events(
     snapshot: DataFrame,
     base_seq: int,
     key_cols: list[str] | None = None,
+    ts_millis: int | None = None,
 ) -> DataFrame:
     """C8 deletion-by-absence: keys present in the table but absent from a
     full re-harvest snapshot become D events (reference end-of-batch
     missing-doc flagging [F-ES — UNVERIFIED]). Returned as change events
-    so they flow through the normal merge path."""
+    so they flow through the normal merge path.
+
+    Deterministic (VERDICT r2 item 6): seq is a pure function of the key —
+    base_seq + hash_bucket * 2^32 + rank-within-bucket in key order — and
+    ts is the caller-supplied snapshot timestamp, so a replayed diff is
+    byte-identical under any partitioning/re-run
+    (``monotonically_increasing_id``/``current_timestamp`` made generated
+    seqs differ across runs and diverged lineage digests). The rank window
+    partitions by a 1024-way key hash, NOT globally — a whole-source
+    disappearance can diff millions of keys, and a global row_number would
+    sort them in ONE task. Seqs are sparse but unique and all > base_seq,
+    which is everything the seq-conditional merge needs."""
+    from pyspark.sql import Window as W
+
     key_cols = key_cols or KEY_COLS
     missing = current_state.select(*key_cols).join(
         snapshot.select(*key_cols), on=key_cols, how="left_anti"
     )
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(1024))
+    rank = (
+        F.row_number().over(
+            W.partitionBy(bucket).orderBy(*[F.col(c) for c in key_cols])
+        )
+        - 1
+    )
+    ts = (
+        F.timestamp_millis(F.lit(int(ts_millis)))
+        if ts_millis is not None
+        else F.timestamp_millis(F.lit(0))
+    )
     return missing.select(
-        (F.lit(base_seq) + F.monotonically_increasing_id()).alias("seq"),
-        F.current_timestamp().alias("ts"),
+        (F.lit(base_seq) + bucket * F.lit(1 << 32) + rank).alias("seq"),
+        ts.alias("ts"),
         F.lit("D").alias("op"),
         *[F.col(c) for c in key_cols],
         F.lit(None).cast("string").alias("commit"),

@@ -438,11 +438,25 @@ class CdcPipeline:
                 pre_partitioned=pre_partitioned,
             )
         else:
+            # CoW: derive the touched buckets from the RAW valid batch
+            # (bucket is a pure function of repo) — the same bucket-pruned
+            # pattern as suppress_no_ops above. Computing them from
+            # merge_batch would re-execute the whole compaction kernel
+            # (mapInArrow is a projection barrier).
+            from foundry_es_spark.lake.table import bucket_expr
+
+            touched = [
+                r[0]
+                for r in valid.select(
+                    bucket_expr(self.cfg.n_buckets).alias("b")
+                ).distinct().collect()
+            ]
             merge_stats = table.merge_upsert(
                 merge_batch,
                 fence=(self.cfg.pipeline_id, epoch_id),
                 files_per_bucket=self.cfg.files_per_bucket,
                 info=_info,
+                touched_buckets=touched,
             )
         stage_sec["merge_write"] = round(time.monotonic() - t2, 3)
         info = {**info, **{k: info_out[k] for k in ("n_keys", "n_deletes", "n_dead_letters") if k in info_out}}

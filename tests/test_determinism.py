@@ -75,16 +75,24 @@ def test_no_forced_broadcast_in_scaling_relational_queries():
         assert "broadcast(c)" not in src, fn.__name__
 
 
-def test_lang_id_udf_has_no_per_row_python():
-    """BASELINE.json: no per-row Python. The lang-id pandas_udf body must
-    be free of row-wise map/apply lambdas (code lines only, not comments)."""
-    import inspect
+def test_lang_id_plan_has_no_python_stage(spark):
+    """BASELINE.json: no per-row Python. Since r3 the lang-id path is
+    required to be 100% JVM — broadcast marker join + argmax window, no
+    pandas UDF at all — so the physical plan must contain no Python
+    evaluation operator and must broadcast the marker table."""
+    import os
 
-    from foundry_es_spark.queries.textstats import _lang_id_udf
+    import pytest
 
-    src = inspect.getsource(_lang_id_udf.func)
-    code = "\n".join(ln.split("#", 1)[0] for ln in src.splitlines())
-    assert ".map(lambda" not in code and ".apply(lambda" not in code
+    from foundry_es_spark.queries.textstats import _LANG_MARKERS, text_lang_id
+
+    assert len(_LANG_MARKERS) >= 10, "coverage contract: >= 10 marker languages"
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+    plan = text_lang_id(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan  # Arrow/BatchEvalPythonExec
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_recall_monotone_in_nprobe_and_tables(spark):

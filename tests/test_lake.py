@@ -250,3 +250,126 @@ def test_concurrent_writer_conflict(spark, tmp_table):
         t.commit_delta_files(version, [])
     # state is intact: still exactly one live row
     assert t.read().count() == 1
+
+
+def test_commit_log_costs_bounded(spark, tmp_table, monkeypatch):
+    """VERDICT r2 item 7: at 10^4 epochs the per-epoch `os.listdir` in
+    current_version and the ever-growing schemas dict were O(history)
+    driver costs. current_version must resolve from the HEAD pointer
+    without listing the log dir, and a commit record's schemas must track
+    the LIVE table (current + file-referenced versions), not the full
+    evolution history."""
+    import json
+    import os
+
+    from foundry_es_spark.lake import log as commitlog
+
+    # -- O(1) current_version over 10^4 synthetic versions (no Spark)
+    d = os.path.join(tmp_table, "logonly")
+    base = {"schema_version": 0, "schemas": {"0": []}, "files": []}
+    for v in range(10_000):
+        commitlog.write_commit(d, {**base, "version": v})
+    real_listdir = os.listdir
+    calls = {"log": 0}
+
+    def counting_listdir(p=None):
+        if p is not None and os.path.normpath(p) == os.path.normpath(
+            commitlog.log_dir(d)
+        ):
+            calls["log"] += 1
+        return real_listdir(p) if p is not None else real_listdir()
+
+    monkeypatch.setattr(os, "listdir", counting_listdir)
+    assert commitlog.current_version(d) == 9_999
+    assert calls["log"] == 0, "HEAD pointer must avoid the O(n) listing"
+    monkeypatch.undo()
+    # corrupt HEAD falls back to the listing and still answers
+    with open(os.path.join(commitlog.log_dir(d), "HEAD"), "w") as fh:
+        fh.write("garbage")
+    assert commitlog.current_version(d) == 9_999
+    # lagging HEAD (crash between link and HEAD update) probes forward
+    with open(os.path.join(commitlog.log_dir(d), "HEAD"), "w") as fh:
+        fh.write("9995")
+    assert commitlog.current_version(d) == 9_999
+
+    # -- bounded record size: schema churn + compaction must not let dead
+    #    schema versions ride forward in every subsequent commit
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=1)
+    for i in range(6):
+        t.add_column(f"extra_{i}", "int")
+        t.append_delta(
+            spark.createDataFrame(
+                [("r0", "a", "c0", "py", f"v{i}", *[None] * (i + 1), i, "U")],
+                "repo string, path string, commit string, lang string, "
+                "content string, "
+                + ", ".join(f"extra_{j} int" for j in range(i + 1))
+                + ", _seq long, _op string",
+            )
+        )
+    t.compact_buckets([0])  # rewrites every file at the current schema
+    rec = json.load(
+        open(
+            os.path.join(
+                commitlog.log_dir(tmp_table),
+                f"v{t._current()['version']:08d}.json",
+            )
+        )
+    )
+    assert set(rec["schemas"]) == {str(rec["schema_version"])}, (
+        "dead schema versions must be pruned once no live file needs them"
+    )
+    # live data and the change feed over pruned history both survive
+    assert t.read().collect()[0]["content"] == "v5"
+    feed = t.table_changes()
+    assert feed.where(F.col("content") == "v0").count() == 1
+
+
+def test_table_changes_plan_is_o_schema_versions(spark, tmp_table):
+    """VERDICT r2 item 4: the change feed over ≥100 commit versions must
+    build O(schema-versions) parquet scans — ONE multi-path scan per
+    schema version, with _commit_version recovered from the file path —
+    and return exactly the rows the per-version loop returned."""
+    import re
+
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=2)
+    n_versions = 110
+    evolve_at = 60
+    expected = {}
+    for i in range(n_versions):
+        if i == evolve_at:
+            t.add_column("n_stars", "int")
+        if i < evolve_at:
+            b = _batch(spark, [(f"r{i}", "a", "c0", "py", f"v{i}", i, "I")])
+        else:
+            b = spark.createDataFrame(
+                [(f"r{i}", "a", "c0", "py", f"v{i}", i, i, "I")],
+                "repo string, path string, commit string, lang string, "
+                "content string, n_stars int, _seq long, _op string",
+            )
+        t.append_delta(b)
+        expected[f"r{i}"] = i
+
+    assert t._current()["version"] >= n_versions
+    feed = t.table_changes()
+
+    # plan inspection: exactly 2 file scans (one per schema version),
+    # although >=110 commits contributed files
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    scans = len(re.findall(r"FileScan parquet|Scan parquet", plan))
+    assert scans == 2, (scans, plan)
+
+    rows = feed.collect()
+    assert len(rows) == n_versions
+    # _commit_version recovered from the path equals the append order
+    # (version k of the table was committed by append k+1 → strictly
+    # increasing with i); spot-check monotonicity and the repo mapping
+    by_repo = {r["repo"]: r for r in rows}
+    assert set(by_repo) == set(expected)
+    vers = [by_repo[f"r{i}"]["_commit_version"] for i in range(n_versions)]
+    assert vers == sorted(vers) and len(set(vers)) == n_versions
+    # old-schema rows project null n_stars; new-schema rows carry it
+    assert by_repo["r10"]["n_stars"] is None
+    assert by_repo[f"r{evolve_at}"]["n_stars"] == evolve_at
+    # bounded feed still works on the path-derived version column
+    tail = t.table_changes(from_version=int(vers[-1]))
+    assert tail.count() == 1 and tail.collect()[0]["repo"] == f"r{n_versions-1}"

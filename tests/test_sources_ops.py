@@ -93,6 +93,34 @@ def test_c8_deletion_by_absence(spark, tmp_path):
     assert pipe.table.read().count() == n_before // 2
 
 
+def test_c8_diff_events_deterministic(spark):
+    """VERDICT r2 item 6: generated D events must be byte-identical across
+    re-runs and physical layouts — seq is a pure function of the key, ts a
+    caller-supplied timestamp. (The old monotonically_increasing_id /
+    current_timestamp forms diverged on every run.)"""
+    state = spark.createDataFrame(
+        [(f"r{i}", f"p{i % 7}") for i in range(300)], "repo string, path string"
+    )
+    snap = state.where(F.pmod(F.xxhash64("repo"), F.lit(3)) == 0)
+
+    def run(cur):
+        return sorted(
+            tuple(r)
+            for r in snapshot_diff_events(
+                cur, snap, base_seq=10_000_000, ts_millis=1767225600000
+            ).collect()
+        )
+
+    a = run(state)
+    b = run(state.repartition(13))
+    c = run(state.coalesce(1))
+    assert a == b == c and len(a) > 0
+    seqs = [r[0] for r in a]
+    assert len(set(seqs)) == len(seqs), "seqs must be unique"
+    assert min(seqs) >= 10_000_000, "all seqs above base_seq"
+    assert all(r[1] is not None for r in a)
+
+
 def test_s4_csv_json_xml_sources(spark, tmp_path):
     tmp = str(tmp_path)
     os.makedirs(f"{tmp}/in")
