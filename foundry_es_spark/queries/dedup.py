@@ -116,24 +116,32 @@ def dedup_minhash_lsh(spark, sf, jaccard_threshold: float = 0.5):
         sh.select("doc_id", F.transform(F.col("sh"), lambda x: F.xxhash64(x)).alias("hsh"))
         .select("doc_id", _minhash_signature(F.col("hsh")).alias("sig"))
     )
+    # all band hashes as ONE array (N_BANDS longs, ~32 bytes) so the join
+    # can decide "is this the FIRST band where the two docs agree" without
+    # a dropDuplicates SHUFFLE over the candidate set (same trick as
+    # dedup_simhash_pairs): a pair agreeing in k bands appears in k band
+    # buckets, and we keep only the occurrence whose band index equals the
+    # first position where the two band-hash arrays match.
     banded = sig.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                        ).alias("bh"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bh")
+        F.array(
+            *[
+                F.xxhash64(
+                    *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                )
+                for b in range(N_BANDS)
+            ]
+        ).alias("bhs"),
+    ).select("doc_id", "bhs", F.posexplode("bhs").alias("band", "bh"))
     left = banded.alias("l")
     right = banded.alias("r")
+    first_agree = (
+        F.array_position(
+            F.zip_with(F.col("l.bhs"), F.col("r.bhs"), lambda a, b: a == b),
+            F.lit(True),
+        )
+        - 1
+    )
     cand = (
         left.join(
             right,
@@ -141,8 +149,8 @@ def dedup_minhash_lsh(spark, sf, jaccard_threshold: float = 0.5):
             & (F.col("l.bh") == F.col("r.bh"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
+        .where(F.col("l.band") == first_agree)
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
     )
     pairs = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
@@ -303,17 +311,154 @@ FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 """
 
 
+# --------------------------------------------------- duplicate clustering
+
+
+def dedup_cluster(spark, sf, chunk_words: int = 8, max_iter: int = 16):
+    """Connected components over the duplicate graph — the cluster-collapse
+    step of a dedup pipeline (pairs alone can't pick one representative
+    when A~B and B~C but A!~C). cluster_id = min doc_id in the component.
+
+    Edges (both deterministic, so the oracle is exact SQL):
+    - near-dup: docs sharing ANY full `chunk_words`-word chunk (fixed
+      offsets, sha256 of the chunk string) — star edges to each chunk
+      group's min doc. Overlap on DIFFERENT chunks chains A-B-C into one
+      component, which is exactly what the CC pass exists to collapse.
+      Shared-chunk is an equi-join on the chunk hash (no all-pairs scan)
+      — the same shape MinHash banding has, but hash-function-free so
+      DuckDB can replay it exactly;
+    - exact-dup: docs sharing a full-text sha256 (covers docs shorter
+      than one chunk).
+
+    Algorithm: min-label propagation with POINTER JUMPING. Each round (a)
+    every node takes the min label over itself and its neighbours, then (b)
+    label <- label(label) (one self-join shortcut). (a) alone needs
+    O(diameter) rounds — a 10^4-long chain of near-dup crawl snapshots
+    would need 10^4 shuffles; the shortcut makes it O(log n) (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", two-phase
+    star-contraction restated as label pointer-jumping). Per round: two
+    shuffles over the EDGE set only — the corpus joins in exactly once at
+    the end (`coalesce(label, doc_id)`), so at 100 TB the iteration cost
+    scales with duplicate-graph size (small) not corpus size.
+    `localCheckpoint` truncates the growing lineage so round k's plan does
+    not replay rounds 1..k-1.
+    """
+    d = table(spark, sf, "documents")
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    n_chunks = F.floor(F.size("w") / chunk_words).cast("int")
+    chunks = (
+        d.select("doc_id", words.alias("w"))
+        # guard: Spark's sequence(0, -1) DESCENDS for docs shorter than one
+        # chunk — filter them out instead (they still get whole-text edges)
+        .where(F.size("w") >= chunk_words)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.concat_ws(" ", F.slice("w", i * chunk_words + 1, chunk_words)),
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", F.sha2(F.col("c"), 256).alias("h"))
+    )
+    hashed = d.select(F.sha2(F.col("text"), 256).alias("h"), "doc_id")
+    # star edges per hash group (chunk groups ∪ whole-text groups); edge
+    # multiplicity from multi-chunk overlap is fine — the min-agg in the
+    # loop dedups, so no distinct() shuffle here
+    keyed = chunks.unionByName(hashed.select("doc_id", "h"))
+    group_min = keyed.groupBy("h").agg(F.min("doc_id").alias("doc_a"))
+    pair = (
+        keyed.join(group_min, "h")
+        .where(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+    )
+    edges = (
+        pair.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pair.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        # materialize once: the loop re-references edges every round, and
+        # without this each round would replay the shingle/Jaccard scan
+        .localCheckpoint()
+    )
+    # CC runs over nodes that appear in ANY edge; everything else is a
+    # singleton and never enters the loop.
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "label")
+        )
+        stepped = (
+            labels.unionByName(prop).groupBy("doc_id").agg(F.min("label").alias("label"))
+        )
+        jumped = (
+            stepped.alias("s")
+            .join(
+                labels.select(F.col("doc_id").alias("label"), F.col("label").alias("ll")).alias("p"),
+                "label",
+            )
+            .select("doc_id", F.least("ll", "label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return (
+        d.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
+    )
+
+
+# DuckDB twin: transitive closure by recursive CTE (UNION-distinct bounds
+# the fixpoint), then min reachable ancestor per node.
+DEDUP_CLUSTER_SQL = """
+WITH RECURSIVE
+keyed AS (
+  SELECT doc_id, sha256(array_to_string(words[i*8+1:i*8+8], ' ')) AS h
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words FROM documents),
+       UNNEST(range(0, greatest(len(words) // 8, 0))) AS t(i)
+  UNION ALL
+  SELECT doc_id, sha256(text) AS h FROM documents
+),
+pair AS (
+  SELECT m.doc_a, k.doc_id AS doc_b
+  FROM keyed k JOIN (SELECT h, min(doc_id) AS doc_a FROM keyed GROUP BY h) m USING (h)
+  WHERE k.doc_id <> m.doc_a
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pair
+  UNION SELECT doc_b, doc_a FROM pair
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS anc FROM documents
+  UNION
+  SELECT e.b, r.anc FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(anc) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_keep_first": dedup_exact_keep_first,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_cluster": dedup_cluster,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
 }
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_exact_keep_first": DEDUP_EXACT_KEEP_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_cluster": DEDUP_CLUSTER_SQL,
 }

@@ -128,6 +128,64 @@ def test_recall_monotone_in_nprobe_and_tables(spark):
     assert a == b and len(a) > 0
 
 
+def test_minhash_first_band_equals_distinct_pairs(spark):
+    """The first-agreeing-band filter (a recomputable predicate, no
+    exchange) must keep EXACTLY the pair set a dropDuplicates over the
+    banded candidates would — VERDICT r2's last dedup-layer shuffle nit."""
+    from pyspark.sql import functions as F
+
+    import foundry_es_spark.queries.dedup as D
+
+    got = sorted(tuple(r) for r in D.dedup_minhash_lsh(spark, SF).collect())
+
+    d = D.table(spark, SF, "documents")
+    rpb = D.N_HASHES // D.N_BANDS
+    sh = D._shingle_sets(d)
+    sig = sh.select(
+        "doc_id", F.transform(F.col("sh"), lambda x: F.xxhash64(x)).alias("hsh")
+    ).select("doc_id", D._minhash_signature(F.col("hsh")).alias("sig"))
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rpb + r + 1) for r in range(rpb)]
+                        ).alias("bh"),
+                    )
+                    for b in range(D.N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
+    ).join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    want = sorted(
+        tuple(r)
+        for r in pairs.withColumn("jaccard", F.round(inter / union, 4))
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_ann_plans_have_no_corpus_side_shuffle(spark):
     """VERDICT r2 root-cause guard: IVF assignment must be a projection
     (driver-resident centroids), not a crossJoin + window over the corpus;
