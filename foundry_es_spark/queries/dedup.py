@@ -446,11 +446,58 @@ SELECT node AS doc_id, min(anc) AS cluster_id FROM reach GROUP BY node
 """
 
 
+def dedup_cluster_collapse(spark, sf):
+    """The materialization step after clustering: one representative (the
+    min-doc_id member, which IS the cluster_id) per duplicate cluster plus
+    member count — the kept corpus a training-data pipeline writes out.
+    One extra hash-aggregate over the (doc_id, cluster_id) pairs and a
+    join back to the corpus on the representative only."""
+    cl = dedup_cluster(spark, sf)
+    sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    d = table(spark, sf, "documents")
+    return sizes.join(d, sizes.cluster_id == d.doc_id).select(
+        "cluster_id", "n_members", F.col("n_chars").alias("rep_n_chars")
+    )
+
+
+DEDUP_CLUSTER_COLLAPSE_SQL = """
+WITH RECURSIVE
+keyed AS (
+  SELECT doc_id, sha256(array_to_string(words[i*8+1:i*8+8], ' ')) AS h
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words FROM documents),
+       UNNEST(range(0, greatest(len(words) // 8, 0))) AS t(i)
+  UNION ALL
+  SELECT doc_id, sha256(text) AS h FROM documents
+),
+pair AS (
+  SELECT m.doc_a, k.doc_id AS doc_b
+  FROM keyed k JOIN (SELECT h, min(doc_id) AS doc_a FROM keyed GROUP BY h) m USING (h)
+  WHERE k.doc_id <> m.doc_a
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pair
+  UNION SELECT doc_b, doc_a FROM pair
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS anc FROM documents
+  UNION
+  SELECT e.b, r.anc FROM reach r JOIN edges e ON e.a = r.node
+),
+clusters AS (
+  SELECT node AS doc_id, min(anc) AS cluster_id FROM reach GROUP BY node
+)
+SELECT cluster_id, count(*) AS n_members, d.n_chars AS rep_n_chars
+FROM clusters JOIN documents d ON d.doc_id = cluster_id
+GROUP BY cluster_id, d.n_chars
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_keep_first": dedup_exact_keep_first,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_cluster": dedup_cluster,
+    "dedup_cluster_collapse": dedup_cluster_collapse,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -461,4 +508,5 @@ ORACLES = {
     "dedup_exact_keep_first": DEDUP_EXACT_KEEP_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_cluster": DEDUP_CLUSTER_SQL,
+    "dedup_cluster_collapse": DEDUP_CLUSTER_COLLAPSE_SQL,
 }

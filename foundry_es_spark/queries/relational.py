@@ -612,6 +612,112 @@ GROUP BY CUBE (o_orderpriority, order_year)
 """
 
 
+# --------------------------------------------------------------------- Q31
+
+def q31_scd2_history(spark, sf):
+    """SCD Type-2 dimension build from the change stream — THE classic CDC
+    query shape (reference pipeline's ingest→enhance keeps only latest
+    state; the history table is what a consumer builds from the same feed).
+    Per user_id: suppress consecutive no-op states (event_type unchanged —
+    mirrors the C3 operator), then derive validity intervals.
+
+    Two windows over the SAME (user_id × order) partitioning — one
+    Exchange + one sort serve the lag, lead, and row_number; everything
+    else is a narrow filter. ``event_id`` breaks ts ties so the history is
+    deterministic under any partitioning.
+    """
+    ev = table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    kept = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    w2 = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return (
+        kept.select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+        .withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("scd_version", F.row_number().over(w2).cast("bigint"))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("event_id")
+    )
+
+
+Q31_SQL = """
+WITH ch AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+kept AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM ch WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER w AS valid_to,
+       row_number() OVER w AS scd_version,
+       lead(valid_from) OVER w IS NULL AS is_current
+FROM kept
+WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+"""
+
+# --------------------------------------------------------------------- Q32
+
+def q32_range_frame_window(spark, sf):
+    """RANGE-frame window: per customer, trailing-30-day revenue at each
+    order (frame = value range over the date, NOT row count — peers with
+    the same date all join the frame, so the result is tie-insensitive).
+    Spark range frames need a numeric sort key: days since epoch, so the
+    (-29, 0) frame is exactly DuckDB's INTERVAL 29 DAY PRECEDING."""
+    o = table(spark, sf, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    w = W.partitionBy("o_custkey").orderBy(day).rangeBetween(-29, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("revenue_30d"),
+    )
+
+
+Q32_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+         RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW), 2) AS revenue_30d
+FROM orders
+"""
+
+# --------------------------------------------------------------------- Q33
+
+def q33_scalar_subquery(spark, sf):
+    """Scalar-subquery filter: customers with more orders than the global
+    per-customer average. The scalar side is a 1-row aggregate —
+    broadcast-joined (hinted: provably 1 row at any scale), so the plan is
+    one shuffle for the groupBy and zero for the comparison. Counts are
+    exact ints and their double average is computed identically on both
+    engines, so the boundary cannot flip (no FP-noise hash risk)."""
+    o = table(spark, sf, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    avg_cnt = per_cust.agg(F.avg("n_orders").alias("avg_orders"))
+    return (
+        per_cust.join(F.broadcast(avg_cnt))
+        .where(F.col("n_orders") > F.col("avg_orders"))
+        .select("c_custkey", "n_orders")
+    )
+
+
+Q33_SQL = """
+SELECT o_custkey AS c_custkey, count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+HAVING count(*) > (
+  SELECT avg(cnt) FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_custkey)
+)
+"""
+
+
 QUERIES = {
     "q1_scan_filter": q1_scan_filter,
     "q2_join_orders_customer": q2_join_orders_customer,
@@ -637,6 +743,9 @@ QUERIES = {
     "q28_exists_subquery": q28_exists_subquery,
     "q29_lag_lead": q29_lag_lead,
     "q30_cube_orders": q30_cube_orders,
+    "q31_scd2_history": q31_scd2_history,
+    "q32_range_frame_window": q32_range_frame_window,
+    "q33_scalar_subquery": q33_scalar_subquery,
 }
 
 ORACLES = {
@@ -664,4 +773,7 @@ ORACLES = {
     "q28_exists_subquery": Q28_SQL,
     "q29_lag_lead": Q29_SQL,
     "q30_cube_orders": Q30_SQL,
+    "q31_scd2_history": Q31_SQL,
+    "q32_range_frame_window": Q32_SQL,
+    "q33_scalar_subquery": Q33_SQL,
 }

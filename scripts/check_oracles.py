@@ -40,7 +40,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_float_dtype(s):
             out[c] = np.round(s.astype("float64"), 6)
         elif pd.api.types.is_datetime64_any_dtype(s):
-            out[c] = pd.to_datetime(s).dt.tz_localize(None)
+            # normalize the unit too: Spark toPandas gives ns, DuckDB
+            # fetchdf gives us, and assert_frame_equal compares the raw
+            # int64 representations even with check_dtype=False
+            out[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[ns]")
         elif s.dtype == object:
             out[c] = s.apply(
                 lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
