@@ -206,3 +206,26 @@ def test_ann_plans_have_no_corpus_side_shuffle(spark):
         # top-k's — never a corpus assignment window or dedup shuffle
         hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
         assert hash_exchanges == 1, (fn.__name__, hash_exchanges, plan)
+
+
+def test_dedup_cluster_chains_transitively(spark, tmp_path):
+    """A~B and B~C on DIFFERENT shared chunks must land in ONE cluster
+    (the reason the CC pass exists), exact dups of sub-chunk docs cluster
+    via the whole-text edge, and the labeling is partitioning-invariant."""
+    from pyspark.sql import Row
+
+    from foundry_es_spark.queries.dedup import dedup_cluster
+
+    w = lambda tag: " ".join(f"{tag}{i}" for i in range(8))
+    docs = [
+        Row(doc_id=0, text=w("w") + " " + w("x")),
+        Row(doc_id=1, text=w("x") + " " + w("y")),  # ~0 via chunk x
+        Row(doc_id=2, text=w("y") + " " + w("z")),  # ~1 via chunk y, !~0
+        Row(doc_id=3, text="tiny doc"),             # < 1 chunk
+        Row(doc_id=4, text="tiny doc"),             # exact dup of 3
+        Row(doc_id=5, text=w("q")),                 # singleton
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_cluster(spark, sf).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
