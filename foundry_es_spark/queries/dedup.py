@@ -116,23 +116,35 @@ def dedup_minhash_lsh(spark, sf, jaccard_threshold: float = 0.5):
         sh.select("doc_id", F.transform(F.col("sh"), lambda x: F.xxhash64(x)).alias("hsh"))
         .select("doc_id", _minhash_signature(F.col("hsh")).alias("sig"))
     )
-    # all band hashes as ONE array (N_BANDS longs, ~32 bytes) so the join
+    # all band hashes as ONE array (N_BANDS longs, ~64 bytes) so the join
     # can decide "is this the FIRST band where the two docs agree" without
     # a dropDuplicates SHUFFLE over the candidate set (same trick as
     # dedup_simhash_pairs): a pair agreeing in k bands appears in k band
     # buckets, and we keep only the occurrence whose band index equals the
     # first position where the two band-hash arrays match.
+    #
+    # The exploded (band, bh) pair is built from xxhash64 DIRECTLY (never
+    # null) rather than element_at(bhs, …): with a nullable bh, the join
+    # key's isnotnull constraint inlines the whole shingle→minhash→band
+    # expression into a scan-level Filter, recomputing the signature per
+    # row — measured 5× wall on the bench corpus before this shape.
+    def _band_hash(b):
+        return F.xxhash64(
+            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        )
+
     banded = sig.select(
         "doc_id",
-        F.array(
-            *[
-                F.xxhash64(
-                    *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                )
-                for b in range(N_BANDS)
-            ]
-        ).alias("bhs"),
-    ).select("doc_id", "bhs", F.posexplode("bhs").alias("band", "bh"))
+        F.array(*[_band_hash(b) for b in range(N_BANDS)]).alias("bhs"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), _band_hash(b).alias("bh"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bhs", "bb.band", "bb.bh")
     left = banded.alias("l")
     right = banded.alias("r")
     first_agree = (

@@ -290,6 +290,115 @@ FROM (SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_identifiers, unnest(ids) AS v
 """
 
 
+# ------------------------------------------------------- chunk windows
+
+
+def text_chunk_windows(spark, sf, window: int = 32, stride: int = 24):
+    """Fixed-stride token windows — the chunking primitive every RAG /
+    training pipeline runs before embedding or packing. Each doc yields
+    ceil-ish floor((n_tokens-1)/stride)+1 overlapping windows of up to
+    `window` whitespace tokens (the last one is short, never empty).
+
+    Pure generator shape for scale: tokenize once, explode a
+    per-row `sequence`, slice — no shuffle at all (narrow map + generate),
+    so a 100 TB corpus chunks at scan bandwidth and the output partitioning
+    inherits the input's. Window count and text are recomputed per chunk
+    from the SAME split array, keeping the whole thing codegen'd.
+    """
+    d = table(spark, sf, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size("w")
+    n_windows = (F.floor((n - 1) / stride) + 1).cast("int")
+    return (
+        d.select("doc_id", w.alias("w"))
+        .where(n > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_windows - 1)).alias("chunk_id"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.concat_ws(" ", F.slice("w", F.col("chunk_id") * stride + 1, window)).alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.lit(window), F.size("w") - F.col("chunk_id") * stride
+            ).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+TEXT_CHUNK_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(w[i*24+1:i*24+32], ' ') AS chunk_text,
+       CAST(least(32, len(w) - i*24) AS BIGINT) AS n_tokens
+FROM toks, UNNEST(range(0, (len(w)-1)//24 + 1)) AS t(i)
+WHERE len(w) > 0
+"""
+
+
+# ------------------------------------------------------ sequence packing
+
+
+def text_pack_sequences(spark, sf, capacity: int = 96, window: int = 32, stride: int = 24, n_groups: int = 64):
+    """Greedy next-fit packing of chunk windows into fixed-`capacity`
+    training sequences — the step between chunking and batch assembly.
+
+    Packing is an inherently SEQUENTIAL recurrence (each bin boundary
+    depends on every prior fill level), so it cannot be a window/cumsum
+    plan; this is the documented applyInPandas case (SURVEY §2: custom op
+    via grouped map). Scale shape: chunks are hash-bucketed into
+    `n_groups` deterministic groups (pure fn of doc_id), packed
+    independently per group in (doc_id, chunk_id) order — groups are
+    embarrassingly parallel and the loop is O(rows) per group with
+    zero-copy Arrow transfer. seq_id = group * 2^40 + local ordinal, so
+    ids are stable under any physical partitioning. On a real corpus
+    n_groups scales with cores, not data: each group streams.
+
+    Output: one row per sequence (seq_id, n_chunks, n_tokens, fill_bp) —
+    fill_bp = integer basis points of capacity used.
+    """
+    import pandas as pd
+
+    chunks = text_chunk_windows(spark, sf, window, stride).withColumn(
+        "pack_group", F.pmod(F.xxhash64("doc_id"), F.lit(n_groups)).cast("int")
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["doc_id", "chunk_id"], ignore_index=True)
+        grp = int(pdf["pack_group"].iloc[0])
+        seq_of = []
+        seq = used = 0
+        for t in pdf["n_tokens"].to_numpy():
+            if used > 0 and used + t > capacity:
+                seq += 1
+                used = 0
+            seq_of.append(seq)
+            used += int(t)
+        pdf = pdf.assign(seq_local=seq_of)
+        agg = pdf.groupby("seq_local", as_index=False).agg(
+            n_chunks=("chunk_id", "size"), n_tokens=("n_tokens", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "seq_id": (grp << 40) + agg["seq_local"].astype("int64"),
+                "n_chunks": agg["n_chunks"].astype("int64"),
+                "n_tokens": agg["n_tokens"].astype("int64"),
+                "fill_bp": (agg["n_tokens"] * 10000 // capacity).astype("int64"),
+            }
+        )
+
+    return chunks.groupBy("pack_group").applyInPandas(
+        pack, "seq_id long, n_chunks long, n_tokens long, fill_bp long"
+    )
+
+
 QUERIES = {
     "dats_nested_metadata": dats_nested_metadata,
     "text_quality_score": text_quality_score,
@@ -297,6 +406,8 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_lang_id": text_lang_id,
     "text_lang_confusion": text_lang_confusion,
+    "text_chunk_windows": text_chunk_windows,
+    "text_pack_sequences": text_pack_sequences,
 }
 
 LANG_CONFUSION_SQL = f"""
@@ -311,4 +422,5 @@ ORACLES = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
     "text_lang_confusion": LANG_CONFUSION_SQL,
+    "text_chunk_windows": TEXT_CHUNK_SQL,
 }

