@@ -38,7 +38,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_ROOT = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/foundry_es_bench")
+# Replay scratch (event log + tables) defaults to tmpfs when present:
+# the sandbox's ONE shared virtio disk is a non-scaling resource whose
+# writeback noise dominated the r2 headline run (median epoch 4.09 s vs
+# the 2.26 s decomposed floor — BENCH/BASELINE.md "why tmpfs"). Inputs
+# for the query surface still come from $SPARK_GRAFT_SF_DIR on disk.
+_default_bench_root = (
+    "/dev/shm/foundry_es_bench" if os.path.isdir("/dev/shm") else "/tmp/foundry_es_bench"
+)
+BENCH_ROOT = os.environ.get("SPARK_GRAFT_BENCH_DIR", _default_bench_root)
 
 # Replay-log shape: ~1M events over 500k keys in 10 epochs, ~1 KB bodies
 # (table >> epoch batch — the honest CDC shape: per-epoch work must track
@@ -267,7 +275,9 @@ def _scaling() -> None:
         "detail": levels,
     }
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # raw report only — BENCH/BASELINE.md is the curated narrative
+    # (floor decomposition, control runs) and is maintained by hand
+    with open("BENCH/SCALING_RUN.md", "w") as f:
         f.write(_scaling_md(levels, eff, n_lo, n_hi))
     print(json.dumps(report))
 
