@@ -338,7 +338,10 @@ def dedup_cluster(spark, sf, chunk_words: int = 8, max_iter: int = 16):
       component, which is exactly what the CC pass exists to collapse.
       Shared-chunk is an equi-join on the chunk hash (no all-pairs scan)
       — the same shape MinHash banding has, but hash-function-free so
-      DuckDB can replay it exactly;
+      DuckDB can replay it exactly. sha256 (64-char string) is chosen
+      ONLY for that exact-oracle property; at production scale swap the
+      join key to `xxhash64(c)` — an 8-byte long, shrinking the chunk
+      shuffle ~8× with negligible collision odds (~n²/2⁶⁴);
     - exact-dup: docs sharing a full-text sha256 (covers docs shorter
       than one chunk).
 
