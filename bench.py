@@ -112,6 +112,10 @@ def run_replay(
             files_per_bucket=2,
             salt_partitions=0,
             merge_mode=mode,
+            # C4 adaptive: the bench log concentrates 20% of events on one
+            # hot repo; without this the hot bucket's payload rides in
+            # files_per_bucket tasks — a straggler tail at wide parallelism
+            hot_bucket_salts=int(os.environ.get("SPARK_GRAFT_HOT_SALTS", "8")),
             **cfg,
         ),
     )

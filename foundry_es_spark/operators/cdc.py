@@ -112,6 +112,9 @@ def compact_sorted_partitions(
     metrics_acc=None,
     num_partitions: int | None = None,
     sink_spec: dict | None = None,
+    hot_buckets=None,
+    hot_salts: int = 0,
+    bucket_acc=None,
 ) -> DataFrame:
     """C1+C2 physical strategy "sorted": ONE payload shuffle, straight to
     the sink's write layout.
@@ -142,6 +145,28 @@ def compact_sorted_partitions(
     Caller must pre-project rows to the final table schema (+ the
     ``order_col`` and ``_op`` system columns) because no JVM projection
     runs afterwards.
+
+    ``hot_buckets``/``hot_salts`` — adaptive C4: buckets named in
+    ``hot_buckets`` (detected by the caller from the PREVIOUS epoch's
+    per-bucket row counts, see ``bucket_acc``) salt over ``hot_salts``
+    slices instead of ``n_salts``. With bucket = hash(repo), one hot repo
+    is one hot bucket: under the flat salt its 10–20 %-of-the-epoch
+    payload sits in ``n_salts`` tasks (a straggler tail that caps stage
+    scaling at wide parallelism — the per-task share must be ~1/width,
+    not 1/n_salts of the hot fraction), while ``hot_salts`` slices put it
+    back on the task-size median. Salt stays a pure function of
+    (bucket, path) for a given hot set, so every key still lands wholly
+    in one partition and dedup correctness is unchanged; only task sizing
+    and the hot bucket's files-per-epoch (= slices that hold its rows)
+    change.
+
+    ``bucket_acc`` — optional accumulator (``partition_metrics_acc``
+    shape: ``{partition_id: {bucket: rows}}``, retry-safe because task
+    retries replace their partition's entry). The kernel reports each
+    partition's pre-dedup per-bucket input row counts; the caller folds
+    them into the hot-set estimate for the NEXT epoch. Costs one
+    vectorized ``value_counts`` per task — no extra Spark job, unlike a
+    ``groupBy(bucket).count()`` pre-pass.
     """
     key_cols = key_cols or KEY_COLS
     from foundry_es_spark.lake.table import bucket_expr
@@ -153,8 +178,18 @@ def compact_sorted_partitions(
     # many (bkt, salt) combos the task carries).
     if n_salts is None:
         n_salts = max(1, files_per_bucket)
+    base_salt = F.pmod(F.xxhash64(key_cols[-1]), F.lit(max(1, n_salts)))
+    hot_buckets = sorted(set(hot_buckets)) if hot_buckets else []
+    if hot_buckets and hot_salts > max(1, n_salts):
+        salt = F.when(
+            F.col("bkt").isin(hot_buckets),
+            F.pmod(F.xxhash64(key_cols[-1]), F.lit(hot_salts)),
+        ).otherwise(base_salt)
+    else:
+        hot_buckets = []
+        salt = base_salt
     events = events.withColumn("bkt", bucket_expr(n_buckets)).withColumn(
-        "_salt", F.pmod(F.xxhash64(key_cols[-1]), F.lit(max(1, n_salts)))
+        "_salt", salt
     )
     # EXPLICIT partition count. `repartition(cols)` without a count is an
     # AQE-coalescible exchange: at small batch sizes AQE collapses the
@@ -165,7 +200,9 @@ def compact_sorted_partitions(
     # independent of N — N only sets compute parallelism. Callers size N
     # from the batch's row count (pipeline: rows / rows_per_task, clamped
     # to the grid) so tiny epochs don't pay the full grid's task overhead.
-    grid = n_buckets * max(1, n_salts)
+    grid = n_buckets * max(1, n_salts) + len(hot_buckets) * max(
+        0, hot_salts - max(1, n_salts)
+    )
     n_parts = min(grid, num_partitions) if num_partitions else grid
     parted = events.repartition(
         max(1, n_parts), F.col("bkt"), F.col("_salt")
@@ -216,6 +253,22 @@ def compact_sorted_partitions(
         if n == 0:
             _report(0)
             return
+        if bucket_acc is not None:
+            # pre-dedup per-bucket input rows — the skew signal the caller
+            # folds into the next epoch's hot-bucket set (C4 adaptive)
+            from pyspark import TaskContext as _BTC
+
+            vc = pc.value_counts(tbl.column("bkt").combine_chunks())
+            bucket_acc.add(
+                {
+                    _BTC.get().partitionId(): dict(
+                        zip(
+                            (int(v) for v in vc.field("values").to_pylist()),
+                            (int(c) for c in vc.field("counts").to_pylist()),
+                        )
+                    )
+                }
+            )
         if n == 1:
             mask = pa.array([True])
         else:

@@ -131,6 +131,17 @@ class PipelineConfig:
     compact_rows_per_task: int = 50_000  # sorted strategy: target rows per compaction task
                                          # (sets explicit partition count = rows/target,
                                          # clamped to the (bucket x salt) grid)
+    hot_bucket_salts: int = 0        # C4 adaptive: buckets whose input-row share in the
+                                     # PREVIOUS epoch exceeded hot_bucket_factor x median
+                                     # salt over this many slices (0 = flat salting only).
+                                     # Bucket = hash(repo): one hot repo's 10-20% payload
+                                     # otherwise sits in files_per_bucket tasks — a
+                                     # straggler tail that caps epoch scaling at wide
+                                     # parallelism. Stats ride the compaction kernel's
+                                     # accumulator channel: no extra Spark job, and the
+                                     # final table state is identical for any value
+                                     # (salt only shapes task sizing / file counts).
+    hot_bucket_factor: float = 4.0   # hotness threshold vs the median loaded bucket
     backend: object | None = None    # injected TableBackend (S5 seam, SURVEY §4.4).
                                      # None = LocalLakeBackend (LakeTable) built from
                                      # table_dir. Pass an IcebergBackend to run the
@@ -143,6 +154,10 @@ class CdcPipeline:
     def __init__(self, spark: SparkSession, config: PipelineConfig):
         self.spark = spark
         self.cfg = config
+        # C4 adaptive-salting state: per-bucket input rows observed in the
+        # most recent epoch (driver-side, rebuilt from live traffic after a
+        # resume — one unsalted epoch re-seeds it, correctness unaffected).
+        self._bucket_rows: dict[int, int] = {}
         if config.backend is not None:
             from foundry_es_spark.lake.backend import TableBackend
 
@@ -191,6 +206,43 @@ class CdcPipeline:
         by_rows = -(-n_events // max(1, self.cfg.compact_rows_per_task))
         by_cores = 2 * self.spark.sparkContext.defaultParallelism
         return max(1, by_rows, by_cores)
+
+    # ----------------------------------------------- C4 adaptive salting
+
+    def _bucket_acc(self):
+        """A fresh per-epoch accumulator for the kernel's per-bucket input
+        row counts, or None when adaptive salting is off."""
+        if self.cfg.hot_bucket_salts <= 0:
+            return None
+        from foundry_es_spark.operators.metrics import partition_metrics_acc
+
+        return partition_metrics_acc(self.spark)
+
+    def _hot_buckets(self) -> list[int]:
+        """Buckets whose input-row share last epoch exceeded
+        ``hot_bucket_factor`` x the median loaded bucket. Driver-side pure
+        arithmetic over <= n_buckets counters; deterministic given the
+        event stream, so replays reproduce the same salt layout."""
+        if self.cfg.hot_bucket_salts <= 0 or len(self._bucket_rows) < 2:
+            return []
+        import statistics
+
+        med = statistics.median(self._bucket_rows.values())
+        cut = self.cfg.hot_bucket_factor * max(1, med)
+        return sorted(b for b, r in self._bucket_rows.items() if r > cut)
+
+    def _fold_bucket_acc(self, acc) -> None:
+        """Replace the hot-set estimate with THIS epoch's observed counts
+        (last-epoch-wins: CDC hotness is sticky across adjacent epochs and
+        a stale hot set only costs extra small files, never correctness)."""
+        if acc is None:
+            return
+        folded: dict[int, int] = {}
+        for per_bucket in acc.value.values():
+            for b, r in per_bucket.items():
+                folded[b] = folded.get(b, 0) + r
+        if folded:
+            self._bucket_rows = folded
 
     # -------------------------------------------------------- epoch body
 
@@ -303,11 +355,13 @@ class CdcPipeline:
         # aggregate + join-back; "agg" is the classic max_by groupBy.
         pre_partitioned = False
         part_acc = None
+        bucket_acc = None
         if self.cfg.compact_strategy == "sorted":
             if self.cfg.record_partition_metrics:
                 from foundry_es_spark.operators.metrics import partition_metrics_acc
 
                 part_acc = partition_metrics_acc(self.spark)
+            bucket_acc = self._bucket_acc()
             compacted = compact_sorted_partitions(
                 valid,
                 self.cfg.n_buckets,
@@ -315,6 +369,9 @@ class CdcPipeline:
                 emit_meta=self.cfg.normalize,
                 metrics_acc=part_acc,
                 num_partitions=self._compact_partitions(n_events),
+                hot_buckets=self._hot_buckets(),
+                hot_salts=self.cfg.hot_bucket_salts,
+                bucket_acc=bucket_acc,
             )
             # cow's merge_upsert re-shuffles on write (it must union with
             # the read-back target), so only mor can claim the layout.
@@ -459,6 +516,7 @@ class CdcPipeline:
                 touched_buckets=touched,
             )
         stage_sec["merge_write"] = round(time.monotonic() - t2, 3)
+        self._fold_bucket_acc(bucket_acc)
         info = {**info, **{k: info_out[k] for k in ("n_keys", "n_deletes", "n_dead_letters") if k in info_out}}
         if self.cfg.merge_mode == "mor":
             merge_stats = self._maybe_compact(table, merge_stats, stage_sec)
@@ -505,6 +563,7 @@ class CdcPipeline:
 
         version, rel = table.begin_delta_version()
         t2 = time.monotonic()
+        bucket_acc = self._bucket_acc()
         meta_df = compact_sorted_partitions(
             merge_batch,
             self.cfg.n_buckets,
@@ -518,9 +577,13 @@ class CdcPipeline:
                 "rel": rel,
                 "codec": "zstd",
             },
+            hot_buckets=self._hot_buckets(),
+            hot_salts=self.cfg.hot_bucket_salts,
+            bucket_acc=bucket_acc,
         )
         file_rows = meta_df.collect()  # the epoch's one job
         stage_sec["merge_write"] = round(time.monotonic() - t2, 3)
+        self._fold_bucket_acc(bucket_acc)
 
         info = {
             **base_info,

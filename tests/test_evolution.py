@@ -183,6 +183,69 @@ def test_skew_replay_with_salting(spark, tmp_path):
     assert hot["count"] > 0.8 * 4000
 
 
+def test_adaptive_hot_bucket_salting(spark, tmp_path):
+    """C4 adaptive: with bucket = hash(repo), a 90%-hot repo is one hot
+    bucket. Flat salting (n_salts = files_per_bucket) leaves its whole
+    payload in n_salts compaction tasks — a straggler tail that caps epoch
+    scaling at wide parallelism. hot_bucket_salts detects the bucket from
+    the PREVIOUS epoch's kernel-reported per-bucket rows (no extra job)
+    and salts it over more slices. Asserts (a) final state is byte-equal
+    to the flat run and the pandas fold oracle — salting shapes task
+    sizing only; (b) the hot bucket is detected after the seed epoch;
+    (c) per-partition metrics show the hot epoch-0 concentration gone in
+    later epochs."""
+    from foundry_es_spark.fixtures import gen_change_events
+    from foundry_es_spark.oracle import fold_events
+
+    events = gen_change_events(
+        spark, n_events=4000, n_keys=300, lines_mod=15, hot_frac=0.9
+    )
+    ev_dir = str(tmp_path / "events")
+    write_event_log(events, ev_dir, epoch_size=1000)
+    pipes = {}
+    for tag, hot in (("flat", 0), ("adaptive", 8)):
+        pipe = CdcPipeline(
+            spark,
+            PipelineConfig(
+                pipeline_id=f"hot-{tag}",
+                table_dir=str(tmp_path / f"table_{tag}"),
+                record_partition_metrics=True,
+                compact_rows_per_task=100,
+                hot_bucket_salts=hot,
+            ),
+        )
+        pipe.replay_event_dir(ev_dir)
+        pipes[tag] = pipe
+
+    cols = ["repo", "path", "commit", "lang", "content_sha256"]
+
+    def _state(pipe):
+        return (
+            pipe.table.read()
+            .select(*cols)
+            .toPandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+
+    flat, adaptive = _state(pipes["flat"]), _state(pipes["adaptive"])
+    pd.testing.assert_frame_equal(flat, adaptive)
+    exp = fold_events(events.toPandas())
+    pd.testing.assert_frame_equal(adaptive, exp[cols].reset_index(drop=True))
+
+    pipe = pipes["adaptive"]
+    assert pipe._hot_buckets(), "hot bucket not detected from kernel stats"
+    infos = [i for i in pipe._epoch_infos() if i.get("partition_metrics")]
+    assert len(infos) >= 3
+    pms = [i["partition_metrics"] for i in infos]
+    # seed epoch (no stats yet): the 90%-hot repo sits in one task
+    assert pms[0]["max_rows"] >= 0.8 * 1000, pms[0]
+    # adapted epochs: spread over hot_bucket_salts slices (0.9/8 ≈ 0.11 per
+    # slice; <= 0.5 tolerates slice-into-partition hash collisions)
+    for pm in pms[1:]:
+        assert pm["max_rows"] <= 0.5 * 1000, pm
+
+
 def test_replay_event_dir_inplace_schema_evolution(spark, tmp_path):
     """C7 through the batch-replay entrypoint with IN-PLACE evolution: a
     later epoch in the SAME event directory adds a column. The replay's
