@@ -31,6 +31,9 @@ def main() -> None:
                     help="replication shape: skip DATS enrichment (enables the fused task-writer sink)")
     ap.add_argument("--fused-write", default="auto", choices=["auto", "on", "off"],
                     help="mor+sorted task-writer sink; auto = only without enrichment")
+    ap.add_argument("--hot-bucket-salts", type=int, default=0,
+                    help="C4 adaptive skew: salt buckets that exceeded 4x the median "
+                         "input rows last epoch over this many slices (0 = flat)")
     ap.add_argument("--partition-metrics", action="store_true",
                     help="record per-partition compaction task metrics in lineage")
     ap.add_argument("--verify-digest", action="store_true",
@@ -55,6 +58,7 @@ def main() -> None:
             normalize=not args.no_normalize,
             fused_write={"auto": "auto", "on": True, "off": False}[args.fused_write],
             record_partition_metrics=args.partition_metrics,
+            hot_bucket_salts=args.hot_bucket_salts,
         ),
     )
     results = pipe.replay_event_dir(args.events_dir, from_epoch=args.from_epoch)
