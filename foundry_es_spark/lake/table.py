@@ -703,10 +703,11 @@ class LakeTable:
         files_per_bucket: int = 1,
         pre_partitioned: bool = False,
         n_buckets: int | None = None,
+        key_cols: tuple[str, ...] | list[str] = ("repo", "path"),
     ) -> list[dict]:
         """Write df (which carries `bkt`) under data/c{version}/ and
         return file metadata. `files_per_bucket` > 1 splits each bucket by
-        a path-salt so one hot bucket still writes in parallel (C4).
+        a key-salt so one hot bucket still writes in parallel (C4).
         `pre_partitioned`: caller guarantees the frame is already in
         (bkt, salt) layout sorted by key — skip the shuffle and sort."""
         rel = f"data/c{version:08d}"
@@ -723,11 +724,11 @@ class LakeTable:
             # operators/cdc.compact_sorted_partitions).
             n_buckets = n_buckets or 16
             if files_per_bucket > 1:
-                salt = F.pmod(F.xxhash64(F.col("path")), F.lit(files_per_bucket))
+                salt = F.pmod(F.xxhash64(F.col(key_cols[-1])), F.lit(files_per_bucket))
                 df = df.repartition(n_buckets * files_per_bucket, F.col("bkt"), salt)
             else:
                 df = df.repartition(n_buckets, "bkt")
-            df = df.sortWithinPartitions("repo", "path")
+            df = df.sortWithinPartitions(*key_cols)
         (
             df.write.mode("errorifexists")
             .partitionBy("bkt")
@@ -745,7 +746,12 @@ class LakeTable:
                     )
         return files
 
-    def overwrite_snapshot(self, df: DataFrame, fence: tuple[str, int] | None = None) -> None:
+    def overwrite_snapshot(
+        self,
+        df: DataFrame,
+        fence: tuple[str, int] | None = None,
+        props_update: dict | None = None,
+    ) -> None:
         """Initial load / full replace (S3). `df` has user columns (+
         optionally _seq/_op)."""
         rec = self._current()
@@ -756,12 +762,16 @@ class LakeTable:
         df = df.withColumn("bkt", bucket_expr(rec["n_buckets"]))
         version = rec["version"] + 1
         files = self._write_bucket_data(
-            df, version, rec["schema_version"], n_buckets=rec["n_buckets"]
+            df, version, rec["schema_version"], n_buckets=rec["n_buckets"],
+            key_cols=rec.get("key_cols", ["repo", "path"]),
         )
         fences = rec["fences"]
         if fence:
             fences = self._advance_fence(fences, fence[0], fence[1])
-        self._commit({**rec, "version": version, "files": files, "fences": fences})
+        record = {**rec, "version": version, "files": files, "fences": fences}
+        if props_update:
+            record["props"] = {**record.get("props", {}), **props_update}
+        self._commit(record)
 
     def append_delta(
         self,
@@ -792,7 +802,7 @@ class LakeTable:
         new_files = self._write_bucket_data(
             batch, version, rec["schema_version"],
             files_per_bucket=files_per_bucket, pre_partitioned=pre_partitioned,
-            n_buckets=rec["n_buckets"],
+            n_buckets=rec["n_buckets"], key_cols=rec.get("key_cols", ["repo", "path"]),
         )
         for f in new_files:
             f["delta"] = True
@@ -938,6 +948,7 @@ class LakeTable:
         files_per_bucket: int = 1,
         info: dict | None = None,
         touched_buckets: list[int] | None = None,
+        props_update: dict | None = None,
     ) -> dict:
         """MERGE INTO equivalent, conditional on event order:
 
@@ -956,9 +967,15 @@ class LakeTable:
         which re-executes the whole upstream plan when it contains a
         Python stage (mapInArrow is a projection barrier) — the VERDICT
         r2 item-8 cost. A superset is safe: untouched buckets rewrite to
-        identical contents."""
+        identical contents.
+
+        ``props_update``: table properties merged into the SAME commit —
+        lets a consumer (e.g. the derived-table maintainer's change-feed
+        cursor, plans/derived.py) advance its watermark atomically with
+        the data it wrote: crash before commit leaves both untouched."""
         rec = self._current()
         n_buckets = rec["n_buckets"]
+        key_cols = list(rec.get("key_cols", ["repo", "path"]))
         batch = batch.withColumn("bkt", bucket_expr(n_buckets))
 
         affected = (
@@ -983,7 +1000,7 @@ class LakeTable:
             unioned = t.unionByName(s)
             payload = F.struct(*[F.col(c) for c in unioned.columns])
             merged = (
-                unioned.groupBy("repo", "path")
+                unioned.groupBy(*key_cols)
                 .agg(F.max_by(payload, F.struct(F.col("_seq"), F.col("_prio"))).alias("r"))
                 .select("r.*")
                 .drop("_prio")
@@ -992,7 +1009,7 @@ class LakeTable:
         version = rec["version"] + 1
         new_files = self._write_bucket_data(
             merged, version, rec["schema_version"], files_per_bucket=files_per_bucket,
-            n_buckets=n_buckets,
+            n_buckets=n_buckets, key_cols=key_cols,
         )
         fences = rec["fences"]
         if fence:
@@ -1003,6 +1020,8 @@ class LakeTable:
             "files_written": len(new_files),
         }
         record = {**rec, "version": version, "files": keep_files + new_files, "fences": fences}
+        if props_update:
+            record["props"] = {**record.get("props", {}), **props_update}
         if info is not None:
             if callable(info):
                 info = info()  # post-write: lets Observation-based stats resolve

@@ -1,9 +1,16 @@
 """Pipeline assembly — the epoch body and batch replay (SURVEY.md §3.2)."""
 
+from foundry_es_spark.plans.derived import DerivedConfig, DerivedTablePipeline
 from foundry_es_spark.plans.pipeline import (
     CdcPipeline,
     PipelineConfig,
     offsets_from_footers,
 )
 
-__all__ = ["CdcPipeline", "PipelineConfig", "offsets_from_footers"]
+__all__ = [
+    "CdcPipeline",
+    "PipelineConfig",
+    "offsets_from_footers",
+    "DerivedConfig",
+    "DerivedTablePipeline",
+]

@@ -1,0 +1,212 @@
+"""Incremental derived-table maintenance — CDC fan-out over the change feed.
+
+A production CDC engine rarely stops at the replicated table: downstream
+consumers maintain *derived* tables (per-repo rollups, dashboards, feature
+tables) that must track the source incrementally — rescanning 100 TB per
+refresh is not an option. The reference's enhance→transform chain feeds
+exactly such downstream views [F-ES: pipeline stages — UNVERIFIED,
+SURVEY.md §0]; here the mechanism is Spark-native and lake-native:
+
+- **Source of increments**: :meth:`LakeTable.table_changes` — the
+  O(schema-versions) commit-range change feed (one multi-path parquet scan
+  per schema version, not per commit).
+- **Refresh strategy — partial recompute**: the feed window names the
+  *touched groups* (distinct group keys among changed rows); only those
+  groups are re-aggregated, from a bucket-pruned selective read of the
+  source snapshot (``read(repos=...)`` opens only the touched buckets'
+  files, then parquet min/max row-group stats prune within them).
+  Work per refresh ∝ data of the touched groups, never table size.
+  Partial recompute sidesteps the retraction bookkeeping a delta-algebra
+  maintainer needs (the feed carries post-images only): updates and
+  deletes are handled for free because the group is rebuilt from truth.
+- **Exactly-once**: the refresh cursor (last consumed source commit
+  version) is a table property written in the SAME commit as the merged
+  aggregates (``merge_upsert(props_update=...)``). A crash anywhere
+  before that commit leaves cursor and data untouched; the retry
+  recomputes the same groups from the (possibly newer) snapshot —
+  re-aggregation from truth is idempotent and self-healing, so a group
+  can never be left stale or doubled.
+- **Vanished groups**: a group present in the feed window but absent from
+  the live snapshot (all its rows tombstoned) merges as a ``D`` tombstone
+  — deletion-by-absence at the derived level.
+- **Scale guard**: when a window touches more groups than
+  ``max_selective_groups`` the maintainer switches to a full recompute
+  (one scan + overwrite) — past that point one scan is cheaper than many
+  selective reads, and the cursor still advances atomically with it.
+
+Iceberg twin: the cursor is a table property (``ALTER TABLE ... SET
+TBLPROPERTIES``) set in the same transaction as the MERGE; the feed is the
+changelog view (`lake/iceberg.py:table_changes_sql`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from foundry_es_spark.lake import log as commitlog
+from foundry_es_spark.lake.table import LakeTable
+
+
+@dataclass
+class DerivedConfig:
+    name: str                       # cursor key + fence pipeline id
+    derived_dir: str                # derived LakeTable root
+    group_cols: list[str] = field(default_factory=lambda: ["repo"])
+    n_buckets: int = 16
+    max_selective_groups: int = 10_000   # window wider than this → full recompute
+    files_per_bucket: int = 1
+
+
+class DerivedTablePipeline:
+    """Maintain ``SELECT group_cols, aggs FROM source GROUP BY group_cols``
+    as a lake table, incrementally, from the source's change feed.
+
+    ``agg_exprs``: aliased aggregate Columns evaluated over the source's
+    public snapshot (e.g. ``[F.count("*").alias("n_paths"), ...]``).
+    The first group col must be ``repo`` (the lake's bucket key), so the
+    derived table inherits bucket-pruned selective reads too.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: LakeTable,
+        cfg: DerivedConfig,
+        agg_exprs: list[Column],
+    ):
+        if cfg.group_cols[0] != "repo":
+            raise ValueError("first group col must be 'repo' (lake bucket key)")
+        self.spark = spark
+        self.source = source
+        self.cfg = cfg
+        self.agg_exprs = agg_exprs
+
+    # ------------------------------------------------------------ plumbing
+
+    @property
+    def _cursor_key(self) -> str:
+        return f"cdf_cursor:{self.cfg.name}"
+
+    def _aggregate(self, snapshot: DataFrame) -> DataFrame:
+        return snapshot.groupBy(*self.cfg.group_cols).agg(*self.agg_exprs)
+
+    def ensure_table(self) -> LakeTable:
+        if LakeTable.exists(self.cfg.derived_dir):
+            return LakeTable(self.spark, self.cfg.derived_dir)
+        # Schema comes from the aggregate plan itself (no row is computed —
+        # .schema resolves on the analyzed plan only).
+        agg_schema = self._aggregate(self.source.read()).schema
+        fields = [(f.name, f.dataType.simpleString()) for f in agg_schema.fields]
+        return LakeTable.create(
+            self.spark,
+            self.cfg.derived_dir,
+            fields,
+            n_buckets=self.cfg.n_buckets,
+            key_cols=tuple(self.cfg.group_cols),
+            props={self._cursor_key: "-1"},
+        )
+
+    @property
+    def table(self) -> LakeTable:
+        return self.ensure_table()
+
+    def cursor(self) -> int:
+        """Last source commit version folded into the derived table."""
+        return int(self.table.properties().get(self._cursor_key, -1))
+
+    # ------------------------------------------------------------- refresh
+
+    def refresh(self) -> dict:
+        """Fold all source commits past the cursor into the derived table.
+
+        Returns stats; ``{"refreshed": False}`` when already current."""
+        src_cur = commitlog.current_version(self.source.table_dir)
+        derived = self.table
+        last = self.cursor()
+        if src_cur is None or src_cur <= last:
+            return {"refreshed": False, "cursor": last}
+
+        feed = self.source.table_changes(from_version=last + 1, to_version=src_cur)
+        # Distinct group keys among changed rows: metadata-scale (bounded
+        # by groups touched in the window, not rows), and the driver needs
+        # the list anyway to prune the selective read + the derived merge.
+        touched = [
+            tuple(r) for r in
+            feed.select(*self.cfg.group_cols).distinct().limit(
+                self.cfg.max_selective_groups + 1
+            ).collect()
+        ]
+        if not touched:
+            # metadata-only source commits (fences, compaction) — advance
+            # the cursor without touching data
+            self._set_cursor_only(derived, src_cur)
+            return {"refreshed": True, "cursor": src_cur, "groups": 0}
+
+        if len(touched) > self.cfg.max_selective_groups:
+            return self._full_recompute(derived, src_cur)
+
+        repos = sorted({t[0] for t in touched})
+        snap = self.source.read(repos=repos)  # bucket-pruned selective read
+        if len(self.cfg.group_cols) > 1:
+            # prune non-repo group dims too (repo pruning already bounded IO;
+            # this bounds the aggregate's input rows)
+            tdf = self.spark.createDataFrame(touched, schema=snap.select(
+                *self.cfg.group_cols).schema)
+            snap = snap.join(F.broadcast(tdf), on=self.cfg.group_cols, how="left_semi")
+        agg = self._aggregate(snap)
+
+        # vanished groups: touched by the window, gone from the snapshot
+        tdf = self.spark.createDataFrame(
+            touched, schema=agg.select(*self.cfg.group_cols).schema
+        )
+        gone = tdf.join(agg, on=self.cfg.group_cols, how="left_anti")
+        agg_cols = [f for f in agg.columns if f not in self.cfg.group_cols]
+        gone = gone.select(
+            *self.cfg.group_cols,
+            *[F.lit(None).cast(agg.schema[c].dataType).alias(c) for c in agg_cols],
+        )
+        batch = (
+            agg.withColumn("_op", F.lit("U"))
+            .unionByName(gone.withColumn("_op", F.lit("D")))
+            .withColumn("_seq", F.lit(src_cur).cast("long"))
+        )
+        # NOTE: no epoch fence here — the cursor property IS the watermark
+        # (fences collapse contiguous epoch ids; source versions are sparse
+        # from the derived table's viewpoint, which would grow fence state).
+        stats = derived.merge_upsert(
+            batch,
+            files_per_bucket=self.cfg.files_per_bucket,
+            touched_buckets=sorted(
+                derived._buckets_for_repos(repos, derived._current()["n_buckets"])
+            ),
+            props_update={self._cursor_key: str(src_cur)},
+            info={"refreshed_groups": len(touched), "source_from": last + 1,
+                  "source_to": src_cur},
+        )
+        return {
+            "refreshed": True,
+            "cursor": src_cur,
+            "groups": len(touched),
+            "mode": "selective",
+            **stats,
+        }
+
+    def _full_recompute(self, derived: LakeTable, src_cur: int) -> dict:
+        agg = self._aggregate(self.source.read())
+        derived.overwrite_snapshot(
+            agg.withColumn("_seq", F.lit(src_cur).cast("long")),
+            props_update={self._cursor_key: str(src_cur)},
+        )
+        return {"refreshed": True, "cursor": src_cur, "mode": "full"}
+
+    def _set_cursor_only(self, derived: LakeTable, src_cur: int) -> None:
+        rec = derived._current()
+        rec["props"] = {**rec["props"], self._cursor_key: str(src_cur)}
+        rec["version"] += 1
+        derived._commit(rec)
+
+    def read(self) -> DataFrame:
+        return self.table.read()
