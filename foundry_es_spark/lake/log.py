@@ -18,6 +18,12 @@ class CommitConflict(Exception):
     """Another writer committed this version first."""
 
 
+class SnapshotExpired(ValueError):
+    """The requested version's commit record was removed by
+    expire_snapshots — time travel / change feeds below the retention
+    floor fail loudly instead of silently skipping history."""
+
+
 def log_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "_log")
 
@@ -62,8 +68,42 @@ def current_version(table_dir: str) -> int | None:
 
 
 def read_commit(table_dir: str, version: int) -> dict:
-    with open(_version_path(table_dir, version)) as fh:
-        return json.load(fh)
+    try:
+        with open(_version_path(table_dir, version)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        cur = current_version(table_dir)
+        if cur is not None and version <= cur:
+            raise SnapshotExpired(
+                f"commit {version} of {table_dir} was expired by "
+                f"expire_snapshots; earliest retained is "
+                f"{earliest_version(table_dir)}"
+            ) from None
+        raise
+
+
+def list_versions(table_dir: str) -> list[int]:
+    """All retained commit versions (full listing — maintenance only)."""
+    d = log_dir(table_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(d)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def earliest_version(table_dir: str) -> int | None:
+    vs = list_versions(table_dir)
+    return vs[0] if vs else None
+
+
+def delete_commit(table_dir: str, version: int) -> None:
+    try:
+        os.remove(_version_path(table_dir, version))
+    except FileNotFoundError:
+        pass
 
 
 def write_commit(table_dir: str, record: dict) -> None:

@@ -67,6 +67,30 @@ def _fields_to_struct(fields: list[LakeField], with_sys: bool = True) -> T.Struc
     return T.StructType(out)
 
 
+def _footer_key_bounds(path: str, key_col: str) -> tuple[str, str] | None:
+    """File-level [min,max] of a string key column from the parquet footer
+    (driver-side, one footer read — the Iceberg manifest column-bounds
+    analogue, recorded at write so selective reads can prune whole FILES
+    before any task is scheduled). None when stats are unusable."""
+    try:
+        import pyarrow.parquet as pq
+
+        meta = pq.read_metadata(path)
+        idx = meta.schema.names.index(key_col)
+        lo = hi = None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            if not (isinstance(st.min, str) and isinstance(st.max, str)):
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        return None if lo is None else (lo, hi)
+    except Exception:
+        return None
+
+
 def bucket_expr(n_buckets: int):
     """Bucket assignment — pmod(xxhash64(repo), N). On the Iceberg backend
     this is the partition spec ``bucket(N, repo)``; co-locating a repo's
@@ -328,11 +352,19 @@ class LakeTable:
                     out, os.path.join(bdir, fn), compression=codec,
                     **({"row_group_size": rg_rows} if rg_rows else {}),
                 )
+                kcol = out.column(key_cols[0])
+                if pa.types.is_string(kcol.type) or pa.types.is_large_string(kcol.type):
+                    mm = pc.min_max(kcol)
+                    rmin, rmax = mm["min"].as_py(), mm["max"].as_py()
+                else:  # non-string partition key: no file bounds (pruning skips)
+                    rmin = rmax = None
                 yield pa.RecordBatch.from_pydict(
                     {
                         "bucket": pa.array([b], pa.int32()),
                         "path": pa.array([f"{write_rel}/bkt={b}/{fn}"], pa.string()),
                         "rows": pa.array([out.num_rows], pa.int64()),
+                        "rmin": pa.array([rmin], pa.string()),
+                        "rmax": pa.array([rmax], pa.string()),
                     }
                 )
 
@@ -492,7 +524,9 @@ class LakeTable:
         rdd = self.spark.sparkContext.parallelize(meta_rows, max(1, len(meta_rows)))
         meta_df = self.spark.createDataFrame(rdd, "bucket int, files string")
         result_schema = (
-            "bucket int, path string, rows long" if write_rel else out_schema
+            "bucket int, path string, rows long, rmin string, rmax string"
+            if write_rel
+            else out_schema
         )
         return meta_df.mapInArrow(_merge_bucket, schema=result_schema)
 
@@ -561,7 +595,14 @@ class LakeTable:
         table. Within the surviving files, the repo predicate then prunes
         row groups via parquet min/max stats (files are key-sorted).
         `buckets` prunes by explicit bucket ids (callers that already know
-        the touched buckets, e.g. the no-op-suppression state read)."""
+        the touched buckets, e.g. the no-op-suppression state read).
+
+        Within the surviving buckets, files carrying recorded key bounds
+        (``rmin``/``rmax``, written by every sink path) are dropped when no
+        target repo falls inside them — file-level pruning decided entirely
+        on the driver from commit metadata, before a single footer is
+        opened or task scheduled (bounds-less files are kept:
+        conservative)."""
         files = rec["files"]
         if buckets is not None:
             bset = set(buckets)
@@ -569,7 +610,14 @@ class LakeTable:
         if not repos:
             return files
         bkts = self._buckets_for_repos(repos, rec["n_buckets"])
-        return [f for f in files if f["bucket"] in bkts]
+        files = [f for f in files if f["bucket"] in bkts]
+        rs = sorted(repos)
+        return [
+            f
+            for f in files
+            if f.get("rmin") is None
+            or any(f["rmin"] <= r <= f["rmax"] for r in rs)
+        ]
 
     def read_internal(
         self, repos: list[str] | None = None, buckets: list[int] | None = None
@@ -741,9 +789,17 @@ class LakeTable:
             b = int(bdir.split("=", 1)[1])
             for fn in sorted(os.listdir(os.path.join(out_dir, bdir))):
                 if fn.endswith(".parquet"):
-                    files.append(
-                        {"path": f"{rel}/{bdir}/{fn}", "bucket": b, "schema_version": schema_version}
+                    entry = {
+                        "path": f"{rel}/{bdir}/{fn}",
+                        "bucket": b,
+                        "schema_version": schema_version,
+                    }
+                    bounds = _footer_key_bounds(
+                        os.path.join(out_dir, bdir, fn), key_cols[0]
                     )
+                    if bounds is not None:
+                        entry["rmin"], entry["rmax"] = bounds
+                    files.append(entry)
         return files
 
     def overwrite_snapshot(
@@ -859,6 +915,10 @@ class LakeTable:
                 "bucket": int(f["bucket"]),
                 "schema_version": rec["schema_version"],
                 "delta": True,
+                # file-level key bounds (when the writer supplied them) —
+                # driver-side file pruning for selective reads
+                **({"rmin": f["rmin"], "rmax": f["rmax"]}
+                   if f.get("rmin") is not None else {}),
             }
             for f in files
         ]
@@ -935,7 +995,13 @@ class LakeTable:
             rec, target, write_rel=rel, files_per_bucket=files_per_bucket
         )
         new_files = [
-            {"path": r["path"], "bucket": int(r["bucket"]), "schema_version": rec["schema_version"]}
+            {
+                "path": r["path"],
+                "bucket": int(r["bucket"]),
+                "schema_version": rec["schema_version"],
+                **({"rmin": r["rmin"], "rmax": r["rmax"]}
+                   if r["rmin"] is not None else {}),
+            }
             for r in meta.collect()
         ]
         self._commit({**rec, "version": version, "files": keep + new_files})
@@ -1104,18 +1170,50 @@ class LakeTable:
         if buckets:
             self.compact_buckets(buckets, files_per_bucket=files_per_bucket)
 
-    def vacuum(self) -> int:
-        """Delete data directories not referenced by the current snapshot,
-        plus unreferenced files INSIDE referenced version dirs — the fused
-        task-writer sinks write attempt-suffixed files (part-*-a{attempt})
-        straight into the version dir, so a lost speculative/retried
-        attempt leaves debris the snapshot never references. Returns the
-        number of directories + files removed."""
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Iceberg ``expire_snapshots`` analogue: drop commit records older
+        than the newest ``keep_last`` versions, bounding commit-log size and
+        fixing the retention window for time travel / change feeds — access
+        below the floor raises :class:`~foundry_es_spark.lake.log.SnapshotExpired`
+        (loud, never a silent skip; the derived-table maintainer catches it
+        and falls back to a full recompute). Data files are untouched here:
+        run :meth:`vacuum` (with ``keep_snapshots``) to reclaim storage."""
+        head = commitlog.current_version(self.table_dir)
+        if head is None:
+            return 0
+        cutoff = head - max(0, keep_last - 1)  # retain [cutoff, head]
+        removed = 0
+        for v in commitlog.list_versions(self.table_dir):
+            if v < cutoff:
+                commitlog.delete_commit(self.table_dir, v)
+                removed += 1
+        return removed
+
+    def vacuum(self, keep_snapshots: int = 0) -> int:
+        """Delete data directories not referenced by any RETAINED snapshot
+        (the current one plus the ``keep_snapshots`` before it, among
+        commits still in the log), plus unreferenced files INSIDE
+        referenced version dirs — the fused task-writer sinks write
+        attempt-suffixed files (part-*-a{attempt}) straight into the
+        version dir, so a lost speculative/retried attempt leaves debris no
+        snapshot references. Returns the number of directories + files
+        removed. ``keep_snapshots=0`` keeps only the head's files (time
+        travel to older versions then fails on read, the documented
+        Iceberg snapshot-read contract)."""
         rec = self._current()
-        live_dirs = {f["path"].split("/")[1] for f in rec["files"]}
+        recs = [rec]
+        if keep_snapshots > 0:
+            head = rec["version"]
+            retained = [
+                v for v in commitlog.list_versions(self.table_dir)
+                if head - keep_snapshots <= v < head
+            ]
+            recs += [commitlog.read_commit(self.table_dir, v) for v in retained]
+        live_dirs = {f["path"].split("/")[1] for r in recs for f in r["files"]}
         live_files = {
             os.path.normpath(os.path.join(self.table_dir, f["path"]))
-            for f in rec["files"]
+            for r in recs
+            for f in r["files"]
         }
         data_root = os.path.join(self.table_dir, "data")
         removed = 0

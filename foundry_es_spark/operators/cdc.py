@@ -325,6 +325,15 @@ def compact_sorted_partitions(
                 if op_col
                 else 0
             )
+            # file-level bounds of the partition key (Iceberg manifest
+            # column-bounds analogue): lets the driver prune whole files
+            # out of selective reads without opening footers
+            kcol = piece.column(kc[0])
+            if pa.types.is_string(kcol.type) or pa.types.is_large_string(kcol.type):
+                mm = pc.min_max(kcol)
+                rmin, rmax = mm["min"].as_py(), mm["max"].as_py()
+            else:
+                rmin = rmax = None
             yield pa.RecordBatch.from_pydict(
                 {
                     "bucket": pa.array([int(b)], pa.int32()),
@@ -333,13 +342,17 @@ def compact_sorted_partitions(
                     ),
                     "rows": pa.array([piece.num_rows], pa.int64()),
                     "deletes": pa.array([int(deletes)], pa.int64()),
+                    "rmin": pa.array([rmin], pa.string()),
+                    "rmax": pa.array([rmax], pa.string()),
                 }
             )
         _report(n)
 
     if sink_spec is not None:
         return parted.mapInArrow(
-            _dedup_gen, schema="bucket int, path string, rows long, deletes long"
+            _dedup_gen,
+            schema="bucket int, path string, rows long, deletes long, "
+                   "rmin string, rmax string",
         )
     return parted.mapInArrow(_dedup_gen, schema=out_schema).drop("_salt")
 

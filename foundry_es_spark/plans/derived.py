@@ -129,16 +129,24 @@ class DerivedTablePipeline:
         if src_cur is None or src_cur <= last:
             return {"refreshed": False, "cursor": last}
 
-        feed = self.source.table_changes(from_version=last + 1, to_version=src_cur)
-        # Distinct group keys among changed rows: metadata-scale (bounded
-        # by groups touched in the window, not rows), and the driver needs
-        # the list anyway to prune the selective read + the derived merge.
-        touched = [
-            tuple(r) for r in
-            feed.select(*self.cfg.group_cols).distinct().limit(
-                self.cfg.max_selective_groups + 1
-            ).collect()
-        ]
+        from foundry_es_spark.lake.log import SnapshotExpired
+
+        try:
+            feed = self.source.table_changes(from_version=last + 1, to_version=src_cur)
+            # Distinct group keys among changed rows: metadata-scale (bounded
+            # by groups touched in the window, not rows), and the driver needs
+            # the list anyway to prune the selective read + the derived merge.
+            touched = [
+                tuple(r) for r in
+                feed.select(*self.cfg.group_cols).distinct().limit(
+                    self.cfg.max_selective_groups + 1
+                ).collect()
+            ]
+        except SnapshotExpired:
+            # cursor fell behind the source's retention window — the feed
+            # can no longer prove which groups changed, so recompute all
+            # (never silently skip history)
+            return self._full_recompute(derived, src_cur)
         if not touched:
             # metadata-only source commits (fences, compaction) — advance
             # the cursor without touching data

@@ -610,7 +610,11 @@ class CdcPipeline:
 
         merge_stats = table.commit_delta_files(
             version,
-            [{"path": r["path"], "bucket": r["bucket"]} for r in file_rows],
+            [
+                {"path": r["path"], "bucket": r["bucket"],
+                 "rmin": r["rmin"], "rmax": r["rmax"]}
+                for r in file_rows
+            ],
             fence=(self.cfg.pipeline_id, epoch_id),
             info=info,
         )

@@ -293,6 +293,78 @@ FROM (SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_identifiers, unnest(ids) AS v
 # ------------------------------------------------------- chunk windows
 
 
+def text_gopher_filter(spark, sf):
+    """Gopher-rules-style document quality FILTER (Rae et al. 2021, §A1.1
+    restated with deterministic integer thresholds): token-count bounds,
+    mean-token-length bounds, alphabetic-word ratio, bullet-line ratio,
+    and duplicate-line fraction. Every feature is integer basis points
+    (floor division on bigints) so the DuckDB oracle matches bit-exactly;
+    every expression is a native HOF over one split — zero Python, one
+    scan, no shuffle (filters at scan bandwidth at 100 TB)."""
+    d = table(spark, sf, "documents")
+    text = F.col("text")
+    tokens = F.split(F.trim(text), r"\s+")
+    lines = F.split(text, "\n")
+    n_tokens = F.size(tokens).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    n_chars = F.greatest(F.length(text).cast("bigint"), F.lit(1))
+    n_alpha_tok = F.size(
+        F.filter(tokens, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("bigint")
+    n_bullet = F.size(
+        F.filter(lines, lambda line: line.rlike(r"^\s*[-*]"))
+    ).cast("bigint")
+    n_distinct_lines = F.size(F.array_distinct(lines)).cast("bigint")
+    atl_centi = F.floor(n_chars * 100 / n_tokens).cast("bigint")
+    alpha_bp = F.floor(n_alpha_tok * 10000 / n_tokens).cast("bigint")
+    bullet_bp = F.floor(n_bullet * 10000 / n_lines).cast("bigint")
+    uline_bp = F.floor(n_distinct_lines * 10000 / n_lines).cast("bigint")
+    keep = (
+        n_tokens.between(5, 10000)
+        & atl_centi.between(150, 1200)
+        & (alpha_bp >= 6000)
+        & (bullet_bp <= 9000)
+        & (uline_bp >= 3000)
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        atl_centi.alias("avg_token_len_centi"),
+        alpha_bp.alias("alpha_bp"),
+        bullet_bp.alias("bullet_bp"),
+        uline_bp.alias("unique_line_bp"),
+        keep.alias("keep"),
+    )
+
+
+TEXT_GOPHER_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         GREATEST(CAST(length(text) AS BIGINT), 1) AS n_chars,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_tok,
+         CAST(len(list_filter(string_split(text, chr(10)),
+                              l -> regexp_matches(l, '^\s*[-*]'))) AS BIGINT) AS n_bullet,
+         CAST(len(list_distinct(string_split(text, chr(10)))) AS BIGINT) AS n_distinct_lines
+  FROM documents
+)
+SELECT doc_id,
+       n_tokens,
+       CAST(floor(n_chars * 100 / n_tokens) AS BIGINT) AS avg_token_len_centi,
+       CAST(floor(n_alpha_tok * 10000 / n_tokens) AS BIGINT) AS alpha_bp,
+       CAST(floor(n_bullet * 10000 / n_lines) AS BIGINT) AS bullet_bp,
+       CAST(floor(n_distinct_lines * 10000 / n_lines) AS BIGINT) AS unique_line_bp,
+       (n_tokens BETWEEN 5 AND 10000
+        AND floor(n_chars * 100 / n_tokens) BETWEEN 150 AND 1200
+        AND floor(n_alpha_tok * 10000 / n_tokens) >= 6000
+        AND floor(n_bullet * 10000 / n_lines) <= 9000
+        AND floor(n_distinct_lines * 10000 / n_lines) >= 3000) AS keep
+FROM t
+"""
+
+
 def text_chunk_windows(spark, sf, window: int = 32, stride: int = 24):
     """Fixed-stride token windows — the chunking primitive every RAG /
     training pipeline runs before embedding or packing. Each doc yields
@@ -406,6 +478,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_lang_id": text_lang_id,
     "text_lang_confusion": text_lang_confusion,
+    "text_gopher_filter": text_gopher_filter,
     "text_chunk_windows": text_chunk_windows,
     "text_pack_sequences": text_pack_sequences,
 }
@@ -422,5 +495,6 @@ ORACLES = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
     "text_lang_confusion": LANG_CONFUSION_SQL,
+    "text_gopher_filter": TEXT_GOPHER_SQL,
     "text_chunk_windows": TEXT_CHUNK_SQL,
 }

@@ -136,6 +136,34 @@ def test_selective_read_prunes_buckets(spark, tmp_table):
     assert internal.where(F.col("_op") == "D").count() == 1
 
 
+def test_selective_read_prunes_files_by_key_bounds(spark, tmp_table):
+    """File-level pruning from recorded key bounds: with ONE bucket (bucket
+    pruning useless by construction), a selective read still drops files
+    whose [rmin, rmax] cannot contain the target repo — decided from commit
+    metadata alone. Bounds are recorded by every write path (JVM writer,
+    fused compaction writer)."""
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=1)
+    t.merge_upsert(_batch(spark, [("aaa", f"p{j}", "c0", "py", f"a{j}", j, "I")
+                                  for j in range(3)]))
+    t.append_delta(_batch(spark, [("zzz", f"p{j}", "c0", "py", f"z{j}", 100 + j, "I")
+                                  for j in range(3)]))
+    rec = t._current()
+    assert all(f.get("rmin") and f.get("rmax") for f in rec["files"]), \
+        "every writer must record file key bounds"
+    only_a = t._pruned_files(rec, ["aaa"])
+    only_z = t._pruned_files(rec, ["zzz"])
+    assert len(only_a) == 1 and only_a[0]["rmax"] == "aaa"
+    assert len(only_z) == 1 and only_z[0]["rmin"] == "zzz"
+    # results identical to the unpruned read, through the MoR merge
+    assert {r.content for r in t.read(repos=["aaa"]).collect()} == {"a0", "a1", "a2"}
+    assert {r.content for r in t.read(repos=["zzz"]).collect()} == {"z0", "z1", "z2"}
+    # fused compaction writer records bounds too
+    t.compact_buckets([0])
+    rec2 = t._current()
+    assert all(f.get("rmin") == "aaa" and f.get("rmax") == "zzz" for f in rec2["files"])
+    assert {r.content for r in t.read(repos=["zzz"]).collect()} == {"z0", "z1", "z2"}
+
+
 def test_time_travel_and_change_feed(spark, tmp_table):
     """read_at_version reproduces historical state; table_changes yields
     the per-commit change rows (MoR delta files) projected to the current
@@ -227,6 +255,71 @@ def test_vacuum_removes_attempt_debris_in_live_dirs(spark, tmp_table):
     assert not os.path.exists(orphan)
     assert os.path.exists(live)
     assert sorted((r.repo, r.content) for r in t.read().collect()) == before
+
+
+def test_expire_snapshots_and_retained_vacuum(spark, tmp_table):
+    """expire_snapshots bounds the commit log; vacuum(keep_snapshots=k)
+    keeps the retained snapshots readable; expired access raises
+    SnapshotExpired instead of silently skipping history."""
+    import pytest as _pytest
+
+    from foundry_es_spark.lake import log as commitlog
+    from foundry_es_spark.lake.log import SnapshotExpired
+
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=2)
+    for i in range(6):
+        t.append_delta(_batch(spark, [("r1", f"p{i}", "c", "py", f"v{i}", i, "I")]))
+    head = commitlog.current_version(tmp_table)
+    assert head == 6
+
+    removed = t.expire_snapshots(keep_last=3)  # retain versions 4..6
+    assert removed == 4  # v0..v3 dropped
+    assert commitlog.list_versions(tmp_table) == [4, 5, 6]
+    assert commitlog.current_version(tmp_table) == 6
+
+    # retained history still works end-to-end
+    assert t.read().count() == 6
+    assert t.read_at_version(5).count() == 5
+    assert t.table_changes(from_version=5).count() == 2
+
+    # below the floor: loud typed error, for time travel AND the feed
+    with _pytest.raises(SnapshotExpired):
+        t.read_at_version(2)
+    with _pytest.raises(SnapshotExpired):
+        t.table_changes(from_version=1).count()
+
+    # vacuum keeping 2 prior snapshots: v4/v5 files survive, reads hold
+    t.vacuum(keep_snapshots=2)
+    assert t.read_at_version(4).count() == 4
+    assert t.read().count() == 6
+    # head-only vacuum then reclaims nothing extra here (all files are
+    # deltas still referenced by the head snapshot)
+    assert t.vacuum() == 0
+
+
+def test_derived_full_recompute_when_cursor_expired(spark, tmp_table, tmp_path):
+    """A derived cursor older than the source's retention window triggers
+    the full-recompute fallback (never a silent skip)."""
+    from pyspark.sql import functions as F2
+
+    from foundry_es_spark.plans import DerivedConfig, DerivedTablePipeline
+
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=2)
+    t.append_delta(_batch(spark, [("r1", "p0", "c", "py", "v0", 0, "I")]))
+    d = DerivedTablePipeline(
+        spark, t,
+        DerivedConfig(name="x", derived_dir=str(tmp_path / "dx"), n_buckets=2),
+        [F2.count("*").alias("n")],
+    )
+    assert d.refresh()["refreshed"]
+    for i in range(1, 5):
+        t.append_delta(_batch(spark, [("r2", f"p{i}", "c", "py", f"v{i}", i, "I")]))
+    t.expire_snapshots(keep_last=1)  # cursor now below the floor
+    stats = d.refresh()
+    assert stats["refreshed"] and stats["mode"] == "full"
+    got = {(r.repo, r.n) for r in d.read().collect()}
+    assert got == {("r1", 1), ("r2", 4)}
+    assert d.refresh()["refreshed"] is False
 
 
 def test_concurrent_writer_conflict(spark, tmp_table):
