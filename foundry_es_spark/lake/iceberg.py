@@ -294,3 +294,35 @@ class IcebergBackend:
             self.spark.sql(sql)
             return self.spark.sql("SELECT * FROM graft_changes")
         return None
+
+    # ------------------------------------------------------------ maintenance
+
+    def expire_snapshots_sql(self, keep_last: int = 1) -> str:
+        """Retention — the Iceberg twin of LakeTable.expire_snapshots:
+        `system.expire_snapshots(retain_last => N)` (snapshot metadata AND
+        the data files only expired snapshots reference, so it covers the
+        local backend's expire_snapshots + vacuum(keep_snapshots) pair)."""
+        catalog = self.fqtn.split(".")[0]
+        tbl = self.fqtn.split(".", 1)[1]
+        return (
+            f"CALL {catalog}.system.expire_snapshots("
+            f"table => '{tbl}', retain_last => {int(keep_last)})"
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        self._run(self.expire_snapshots_sql(keep_last))
+        return -1  # count comes from the procedure's result set on a cluster
+
+    def vacuum_sql(self) -> str:
+        """Orphan cleanup — the twin of the local vacuum's attempt-debris
+        sweep: files in the table location no snapshot references
+        (crashed/speculative writers)."""
+        catalog = self.fqtn.split(".")[0]
+        tbl = self.fqtn.split(".", 1)[1]
+        return f"CALL {catalog}.system.remove_orphan_files(table => '{tbl}')"
+
+    def vacuum(self, keep_snapshots: int = 0) -> int:
+        if keep_snapshots:
+            self._run(self.expire_snapshots_sql(keep_snapshots + 1))
+        self._run(self.vacuum_sql())
+        return -1

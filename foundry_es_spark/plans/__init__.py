@@ -2,12 +2,14 @@
 
 from foundry_es_spark.plans.derived import DerivedConfig, DerivedTablePipeline
 from foundry_es_spark.plans.pipeline import (
+    AuditFailed,
     CdcPipeline,
     PipelineConfig,
     offsets_from_footers,
 )
 
 __all__ = [
+    "AuditFailed",
     "CdcPipeline",
     "PipelineConfig",
     "offsets_from_footers",

@@ -41,6 +41,13 @@ from foundry_es_spark.schema import BASE_SCHEMA
 ENVELOPE_COLS = {"seq", "ts", "op", "part", "epoch"}
 
 
+class AuditFailed(Exception):
+    """A Write-Audit-Publish check rejected the epoch's staged rows: the
+    publishing commit was withheld, the epoch stays unfenced (resume will
+    retry it after the cause is fixed), and on the fused sink the staged
+    files were discarded."""
+
+
 def offsets_from_footers(epoch_dir: str) -> dict | None:
     """Per-partition consumed offsets from parquet FOOTER statistics — a
     driver-side metadata read (a few KB per file), replacing a cluster-wide
@@ -142,6 +149,18 @@ class PipelineConfig:
                                      # final table state is identical for any value
                                      # (salt only shapes task sizing / file counts).
     hot_bucket_factor: float = 4.0   # hotness threshold vs the median loaded bucket
+    audit_fn: object | None = None   # Write-Audit-Publish hook: callable
+                                     # (staged_df, ctx) -> bool run on the epoch's
+                                     # staged rows BEFORE the publishing commit.
+                                     # False/raise => AuditFailed: nothing published,
+                                     # epoch unfenced (resume retries it). Catches
+                                     # table-level invariant breaks (row counts,
+                                     # mass-delete events, null floods) that
+                                     # row-level dead-lettering can't see. On the
+                                     # fused sink this is true WAP (staged files
+                                     # audited, publish = metadata swap); on the
+                                     # JVM path the audit pass re-executes the
+                                     # epoch plan (the documented cost).
     backend: object | None = None    # injected TableBackend (S5 seam, SURVEY §4.4).
                                      # None = LocalLakeBackend (LakeTable) built from
                                      # table_dir. Pass an IcebergBackend to run the
@@ -434,6 +453,18 @@ class CdcPipeline:
             )
             return {**info, "skipped": False, "buckets_rewritten": 0}
 
+        if self.cfg.audit_fn is not None:
+            # WAP on the JVM path: audit the exact rows that would publish.
+            # The audit action re-executes the epoch plan once (no staged
+            # files to reuse here — the fused path audits those instead).
+            if not self.cfg.audit_fn(
+                merge_batch, {"epoch_id": epoch_id, "n_events": n_events}
+            ):
+                raise AuditFailed(
+                    f"epoch {epoch_id}: audit_fn rejected the batch; "
+                    "nothing was published"
+                )
+
         # The whole epoch — compaction shuffle, Arrow-vectorized enhancement,
         # bucket shuffle, sorted parquet write — executes as ONE Spark job;
         # merge stats ride on Observations instead of a second
@@ -584,6 +615,33 @@ class CdcPipeline:
         file_rows = meta_df.collect()  # the epoch's one job
         stage_sec["merge_write"] = round(time.monotonic() - t2, 3)
         self._fold_bucket_acc(bucket_acc)
+
+        if self.cfg.audit_fn is not None and file_rows:
+            # True Write-Audit-Publish: data files are staged under the
+            # reserved (uncommitted) version dir; the audit reads THEM —
+            # no recompute — and only a pass releases the metadata swap.
+            from foundry_es_spark.lake.table import _fields_to_struct
+
+            t_aud = time.monotonic()
+            staged = self.spark.read.schema(
+                _fields_to_struct(table.schema_fields(), with_sys=True)
+            ).parquet(*[
+                os.path.join(self.cfg.table_dir, r["path"]) for r in file_rows
+            ])
+            ok = self.cfg.audit_fn(
+                staged, {"epoch_id": epoch_id, "n_events": n_events}
+            )
+            stage_sec["audit"] = round(time.monotonic() - t_aud, 3)
+            if not ok:
+                import shutil as _shutil
+
+                _shutil.rmtree(
+                    os.path.join(self.cfg.table_dir, rel), ignore_errors=True
+                )
+                raise AuditFailed(
+                    f"epoch {epoch_id}: audit_fn rejected the staged files; "
+                    "version dir discarded, nothing was published"
+                )
 
         info = {
             **base_info,

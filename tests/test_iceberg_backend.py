@@ -176,6 +176,21 @@ def test_pipeline_epoch_body_over_iceberg_backend(spark, tmp_path):
     assert be.last_epoch("ice") == 1
 
 
+def test_maintenance_golden(be):
+    assert be.expire_snapshots_sql(3) == (
+        "CALL lake.system.expire_snapshots(table => 'db.code', retain_last => 3)"
+    )
+    assert be.vacuum_sql() == (
+        "CALL lake.system.remove_orphan_files(table => 'db.code')"
+    )
+    n0 = len(be.sql_log)
+    be.vacuum(keep_snapshots=2)  # expire to 3 retained + orphan sweep
+    assert be.sql_log[n0:] == [
+        "CALL lake.system.expire_snapshots(table => 'db.code', retain_last => 3)",
+        "CALL lake.system.remove_orphan_files(table => 'db.code')",
+    ]
+
+
 def test_time_travel_and_changelog_golden(be):
     assert be.read_at_version_sql(123456789) == (
         "SELECT repo, path, commit, lang, content FROM lake.db.code "
