@@ -44,8 +44,18 @@ def run_stream(
     max_files_per_trigger: int = 64,
     extra_payload: T.StructType | None = None,
     await_termination: bool = False,
+    derived: list | None = None,
 ):
-    """Start (or resume from `checkpoint_dir`) the streaming replay query."""
+    """Start (or resume from `checkpoint_dir`) the streaming replay query.
+
+    ``derived``: optional :class:`~foundry_es_spark.plans.DerivedTablePipeline`
+    maintainers refreshed after each trigger's epoch commit — streaming CDC
+    fan-out. Safe at every crash point: the maintainer's change-feed cursor
+    commits atomically with ITS data, so a crash between the epoch commit
+    and a refresh just leaves the derived table one window behind; the next
+    trigger (or a standalone `run_derived.py` pass) catches it up.
+    Exactly-once on both tables, no coordination needed."""
+
     stream = (
         spark.readStream.schema(_stream_schema(extra_payload))
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -55,6 +65,8 @@ def run_stream(
 
     def _body(batch_df, batch_id: int):
         pipeline.apply_epoch(batch_df, int(batch_id))
+        for m in derived or ():
+            m.refresh()
 
     query = (
         stream.writeStream.foreachBatch(_body)

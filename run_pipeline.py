@@ -39,6 +39,13 @@ def main() -> None:
     ap.add_argument("--max-files-per-trigger", type=int, default=64)
     ap.add_argument("--continuous", action="store_true",
                     help="keep running for new files (default: drain available then exit)")
+    ap.add_argument("--derived-dir", default=None,
+                    help="maintain a per-repo rollup table here, refreshed after each "
+                         "trigger (streaming CDC fan-out; see run_derived.py for the "
+                         "standalone/catch-up form)")
+    ap.add_argument("--derived-aggs", default="count(*) AS n_paths",
+                    help="semicolon-separated SQL aggregates for --derived-dir")
+    ap.add_argument("--derived-name", default="derived")
     args = ap.parse_args()
 
     from foundry_es_spark.plans import CdcPipeline, PipelineConfig
@@ -61,6 +68,20 @@ def main() -> None:
             hot_bucket_salts=args.hot_bucket_salts,
         ),
     )
+    maintainers = []
+    if args.derived_dir:
+        from pyspark.sql import functions as F
+
+        from foundry_es_spark.plans import DerivedConfig, DerivedTablePipeline
+
+        maintainers.append(
+            DerivedTablePipeline(
+                spark,
+                pipe.table,
+                DerivedConfig(name=args.derived_name, derived_dir=args.derived_dir),
+                [F.expr(e.strip()) for e in args.derived_aggs.split(";") if e.strip()],
+            )
+        )
     query = run_stream(
         spark,
         pipe,
@@ -68,6 +89,7 @@ def main() -> None:
         args.checkpoint_dir,
         max_files_per_trigger=args.max_files_per_trigger,
         await_termination=False,
+        derived=maintainers,
     )
     query.awaitTermination()
     lineage = pipe.lineage()

@@ -185,3 +185,21 @@ def test_wide_window_full_recompute_path(spark, tmp_path):
     assert stats["refreshed"] and stats["mode"] == "full"
     assert _rows(d.read()) == _rows(_expected(pipe.table))
     assert d.refresh()["refreshed"] is False
+
+
+def test_streaming_fanout_keeps_derived_current(spark, tmp_path):
+    """run_stream(derived=[...]): each trigger's epoch commit is followed by
+    a derived refresh — after the stream drains, the rollup equals the full
+    recompute (streaming CDC fan-out, exactly-once on both tables)."""
+    from foundry_es_spark.streaming import run_stream
+
+    tmp = str(tmp_path)
+    pipe = _mk(spark, tmp, n_events=3000, epoch_size=1000)
+    d = _derived(spark, pipe, tmp)
+    run_stream(
+        spark, pipe, f"{tmp}/events", f"{tmp}/ckpt",
+        max_files_per_trigger=8, await_termination=True, derived=[d],
+    )
+    assert pipe.table.read().count() > 0
+    assert _rows(d.read()) == _rows(_expected(pipe.table))
+    assert d.refresh()["refreshed"] is False  # already current
