@@ -113,3 +113,116 @@ def test_golden_digest_fixed_corpus(spark, tmp_path):
     got = pipe.table.read().select("repo", "path", "commit", "lang", "content_sha256").toPandas()
     digest = table_digest(got)
     assert digest == GOLDEN_DIGEST, digest
+
+
+# ------------------------------------------------------- lifecycle chaos
+
+ACTIONS = ["compact", "expire", "vacuum", "redeliver", "resume", "derived", "none"]
+
+
+@st.composite
+def chaos_logs(draw):
+    evs = draw(st.lists(EVENT_ST, min_size=1, max_size=50))
+    n_epochs = draw(st.integers(1, 4))
+    actions = draw(
+        st.lists(st.sampled_from(ACTIONS), min_size=n_epochs, max_size=n_epochs)
+    )
+    return evs, n_epochs, actions
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(chaos_logs())
+def test_lifecycle_chaos_matches_fold_oracle(spark, tmp_path_factory, log):
+    """Arbitrary interleavings of epochs with maintenance — compaction,
+    snapshot expiry, retained vacuum, duplicate delivery, process resume,
+    derived refreshes — must never change WHAT the table (or its derived
+    rollup) says, only how it is stored."""
+    from foundry_es_spark.plans import DerivedConfig, DerivedTablePipeline
+
+    evs, n_epochs, actions = log
+    tmp = str(tmp_path_factory.mktemp("chaos"))
+    rows = []
+    for seq, (ri, pi, op, text) in enumerate(evs):
+        rows.append(
+            {
+                "seq": seq,
+                "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=seq),
+                "op": op,
+                "repo": REPOS[ri],
+                "path": PATHS[pi],
+                "commit": None if op == "D" else f"c{seq}",
+                "lang": None if op == "D" else "python",
+                "content": None if op == "D" else text,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    sdf = spark.createDataFrame(
+        pdf,
+        "seq long, ts timestamp, op string, repo string, path string, "
+        "commit string, lang string, content string",
+    ).withColumn("part", F.pmod(F.xxhash64("repo"), F.lit(2)))
+
+    def mk_pipe():
+        return CdcPipeline(
+            spark,
+            PipelineConfig(
+                pipeline_id="p",
+                table_dir=f"{tmp}/t",
+                n_buckets=4,
+                merge_mode="mor",
+                compact_threshold=2,
+            ),
+        )
+
+    pipe = mk_pipe()
+    d = DerivedTablePipeline(
+        spark,
+        pipe.table,
+        DerivedConfig(name="chaos", derived_dir=f"{tmp}/d", n_buckets=4),
+        [F.count("*").alias("n_paths")],
+    )
+    per_epoch = max(1, (len(rows) + n_epochs - 1) // n_epochs)
+    for e in range(n_epochs):
+        chunk = sdf.where(
+            (F.col("seq") >= e * per_epoch) & (F.col("seq") < (e + 1) * per_epoch)
+        )
+        pipe.apply_epoch(chunk, e)
+        act = actions[e]
+        if act == "compact":
+            pipe.table.compact(files_per_bucket=1)
+        elif act == "expire":
+            pipe.table.expire_snapshots(keep_last=2)
+        elif act == "vacuum":
+            pipe.table.vacuum(keep_snapshots=1)
+        elif act == "redeliver":
+            assert pipe.apply_epoch(chunk, e)["skipped"] is True
+        elif act == "resume":
+            pipe = mk_pipe()
+        elif act == "derived":
+            d.refresh()
+
+    got = (
+        pipe.table.read()
+        .select("repo", "path", "commit", "lang", "content_sha256")
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    exp = fold_events(pdf)[["repo", "path", "commit", "lang", "content_sha256"]].reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # derived rollup catches up to the same truth regardless of what
+    # maintenance ran in between (expiry may force its full-recompute path)
+    d.refresh()
+    got_d = sorted(tuple(r) for r in d.read().collect())
+    exp_d = sorted(
+        tuple(r)
+        for r in pipe.table.read().groupBy("repo").agg(F.count("*").alias("n_paths")).collect()
+    )
+    assert got_d == exp_d
