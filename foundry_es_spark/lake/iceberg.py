@@ -140,6 +140,12 @@ class IcebergBackend:
             for f in self._fields
         ]
 
+    def drop_column(self, name: str) -> None:
+        if name in KEY_COLS:
+            raise ValueError(f"cannot drop key column {name}")
+        self._run(f"ALTER TABLE {self.fqtn} DROP COLUMN {name}")
+        self._fields = [f for f in self._fields if f.name != name]
+
     def widen_column(self, name: str, new_type: str) -> None:
         cur = next(f for f in self._fields if f.name == name)
         if cur.type != new_type and (cur.type, new_type) not in WIDENINGS:

@@ -703,10 +703,25 @@ class LakeTable:
             rec_v = commitlog.read_commit(self.table_dir, v)
             for f in rec_v["files"]:
                 if f.get("delta") and f["path"].startswith(prefix):
+                    p = os.path.join(self.table_dir, f["path"])
+                    if not os.path.exists(p):
+                        # the commit record survived but vacuum() reclaimed
+                        # the version's data files (compacted-away deltas are
+                        # unreferenced by retained snapshots) — the feed for
+                        # this window is gone; fail TYPED so consumers fall
+                        # back to full recompute instead of silently missing
+                        # changes (Iceberg couples these by expiring snapshot
+                        # + files together; here vacuum can outrun expiry, so
+                        # the read detects it). Keep vacuum's keep_snapshots
+                        # at or above your slowest feed consumer's lag to
+                        # stay on the incremental path.
+                        raise commitlog.SnapshotExpired(
+                            f"change feed over version {v} of {self.table_dir}: "
+                            f"delta file {f['path']} was reclaimed by vacuum; "
+                            "re-read from a full snapshot"
+                        )
                     sv = f["schema_version"]
-                    by_sv.setdefault(sv, []).append(
-                        os.path.join(self.table_dir, f["path"])
-                    )
+                    by_sv.setdefault(sv, []).append(p)
                     if sv not in sv_fields:
                         sv_fields[sv] = [
                             LakeField.from_json(d)
@@ -1129,6 +1144,20 @@ class LakeTable:
             raise ValueError(f"column {old} not found")
         self._commit_schema(rec, fields, rec["next_field_id"])
 
+    def drop_column(self, name: str) -> None:
+        """Iceberg DROP COLUMN semantics: the field leaves the CURRENT
+        schema; historical files keep their bytes (projection by field id
+        simply stops selecting them), and a later ``add_column`` of the
+        same NAME allocates a fresh field id — old values can never
+        resurrect through a re-add (the Iceberg id-not-name contract)."""
+        rec = self._current()
+        if name in rec.get("key_cols", ["repo", "path"]):
+            raise ValueError(f"cannot drop key column {name}")
+        fields = [f for f in self.schema_fields(rec) if f.name != name]
+        if len(fields) == len(self.schema_fields(rec)):
+            raise ValueError(f"column {name} not found")
+        self._commit_schema(rec, fields, rec["next_field_id"])
+
     def widen_column(self, name: str, new_type: str) -> None:
         rec = self._current()
         fields = self.schema_fields(rec)
@@ -1188,6 +1217,35 @@ class LakeTable:
                 commitlog.delete_commit(self.table_dir, v)
                 removed += 1
         return removed
+
+    def rebucket(self, n_buckets: int, files_per_bucket: int = 1) -> dict:
+        """Partition-spec evolution: rewrite the table into a new bucket
+        count — the capacity move when key cardinality outgrows the layout
+        (bucket(64) → bucket(256) keeps per-bucket merge state bounded).
+
+        Unlike Iceberg's lazy spec evolution (new files new spec, old files
+        old spec), the bucket-LOCAL merge invariant here requires every
+        generation of a bucket to hold a disjoint key slice — mixing specs
+        would break it — so this is an explicit full rewrite published as
+        ONE commit: reads before it see the old layout, after it the new;
+        fences, schema, and row data are untouched. O(table) cost, run it
+        like any other maintenance window."""
+        rec = self._current()
+        merged = self._read_merged(rec, rec["files"])
+        version = rec["version"] + 1
+        if merged is None:
+            new_files: list[dict] = []
+        else:
+            df = merged.withColumn("bkt", bucket_expr(n_buckets))
+            new_files = self._write_bucket_data(
+                df, version, rec["schema_version"],
+                files_per_bucket=files_per_bucket, n_buckets=n_buckets,
+                key_cols=rec.get("key_cols", ["repo", "path"]),
+            )
+        self._commit(
+            {**rec, "version": version, "files": new_files, "n_buckets": n_buckets}
+        )
+        return {"n_buckets": n_buckets, "files_written": len(new_files)}
 
     def vacuum(self, keep_snapshots: int = 0) -> int:
         """Delete data directories not referenced by any RETAINED snapshot

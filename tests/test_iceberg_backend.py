@@ -176,6 +176,17 @@ def test_pipeline_epoch_body_over_iceberg_backend(spark, tmp_path):
     assert be.last_epoch("ice") == 1
 
 
+def test_drop_column_golden(be):
+    be.add_column("n_stars", "int")
+    be.drop_column("n_stars")
+    assert be.sql_log[-1] == "ALTER TABLE lake.db.code DROP COLUMN n_stars"
+    assert "n_stars" not in [f.name for f in be.schema_fields()]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        be.drop_column("repo")
+
+
 def test_maintenance_golden(be):
     assert be.expire_snapshots_sql(3) == (
         "CALL lake.system.expire_snapshots(table => 'db.code', retain_last => 3)"

@@ -257,6 +257,71 @@ def test_vacuum_removes_attempt_debris_in_live_dirs(spark, tmp_table):
     assert sorted((r.repo, r.content) for r in t.read().collect()) == before
 
 
+def test_drop_column_and_no_resurrection_on_readd(spark, tmp_table):
+    """DROP COLUMN removes the field from the current schema; re-adding the
+    same NAME mints a new field id, so pre-drop values never resurrect
+    (Iceberg id-not-name projection)."""
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=2)
+    t.merge_upsert(_batch(spark, [("r1", "a", "c0", "py", "v0", 0, "I"),
+                                  ("r2", "b", "c0", "scala", "x0", 1, "I")]))
+    t.drop_column("lang")
+    assert "lang" not in [f.name for f in t.spark_schema().fields]
+    assert {tuple(r) for r in t.read().select("repo", "path", "content").collect()} == {
+        ("r1", "a", "v0"), ("r2", "b", "x0")
+    }
+    t.add_column("lang", "string")
+    rows = {r.repo: r.lang for r in t.read().collect()}
+    assert rows == {"r1": None, "r2": None}, "old lang values must NOT come back"
+    # new writes populate the re-added column; old rows stay null
+    t.merge_upsert(
+        spark.createDataFrame(
+            [("r1", "a", "c1", "v1", "rust", 5, "U")],
+            "repo string, path string, commit string, content string, "
+            "lang string, _seq long, _op string",
+        )
+    )
+    rows = {r.repo: r.lang for r in t.read().collect()}
+    assert rows == {"r1": "rust", "r2": None}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.drop_column("repo")
+
+
+def test_rebucket_full_rewrite(spark, tmp_table):
+    """Partition-spec evolution: rebucket() rewrites into a new bucket
+    count in one commit; rows, tombstones, fences, and selective reads are
+    preserved, and subsequent merges use the new layout."""
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=2)
+    t.merge_upsert(
+        _batch(spark, [(f"r{i}", f"p{j}", "c0", "py", f"v{i}.{j}", i * 10 + j, "I")
+                       for i in range(12) for j in range(2)]),
+        fence=("pipe", 0),
+    )
+    t.append_delta(_batch(spark, [("r3", "p0", "c1", "py", "w3", 1000, "U"),
+                                  ("r5", "p1", None, None, None, 1001, "D")]))
+    before = sorted(tuple(r) for r in t.read().collect())
+
+    stats = t.rebucket(8)
+    assert stats["n_buckets"] == 8
+    rec = t._current()
+    assert rec["n_buckets"] == 8
+    assert not any(f.get("delta") for f in rec["files"])  # one base generation
+    assert max(f["bucket"] for f in rec["files"]) >= 2  # actually spread wider
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+    assert t.is_epoch_committed("pipe", 0)  # fences survive
+
+    # tombstone survived the rewrite: re-delivering the dead event loses
+    t.merge_upsert(_batch(spark, [("r5", "p1", "c9", "py", "zombie", 900, "U")]))
+    assert t.read().where("repo = 'r5' AND path = 'p1'").count() == 0
+    # selective read correct in the new layout
+    got = sorted(tuple(r) for r in t.read(repos=["r3"]).collect())
+    want = sorted(
+        tuple(r) for r in t.read().where(F.col("repo") == "r3").collect()
+    )
+    assert got == want and len(got) == 2
+
+
 def test_expire_snapshots_and_retained_vacuum(spark, tmp_table):
     """expire_snapshots bounds the commit log; vacuum(keep_snapshots=k)
     keeps the retained snapshots readable; expired access raises
@@ -320,6 +385,38 @@ def test_derived_full_recompute_when_cursor_expired(spark, tmp_table, tmp_path):
     got = {(r.repo, r.n) for r in d.read().collect()}
     assert got == {("r1", 1), ("r2", 4)}
     assert d.refresh()["refreshed"] is False
+
+
+def test_change_feed_over_vacuumed_window_raises_typed(spark, tmp_table, tmp_path):
+    """Regression (found by the lifecycle chaos property test): vacuum can
+    reclaim a compacted-away delta dir while its commit record survives —
+    a change feed over that window must raise SnapshotExpired at PLAN time
+    (typed, catchable) instead of PATH_NOT_FOUND at execution, and the
+    derived maintainer must recover via full recompute."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F2
+
+    from foundry_es_spark.lake.log import SnapshotExpired
+    from foundry_es_spark.plans import DerivedConfig, DerivedTablePipeline
+
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=2)
+    t.append_delta(_batch(spark, [("r1", "p0", "c", "py", "v0", 0, "I")]))
+    t.compact()   # delta now unreferenced by head
+    t.vacuum()    # head-only retention: the delta's dir is reclaimed
+    with _pytest.raises(SnapshotExpired):
+        t.table_changes(from_version=0)
+    # feed windows that only span surviving versions still work
+    t.append_delta(_batch(spark, [("r2", "p1", "c", "py", "v1", 1, "I")]))
+    assert t.table_changes(from_version=3).count() == 1
+
+    d = DerivedTablePipeline(
+        spark, t,
+        DerivedConfig(name="v", derived_dir=str(tmp_path / "dv"), n_buckets=2),
+        [F2.count("*").alias("n")],
+    )
+    stats = d.refresh()  # cursor -1 -> expired window -> full recompute
+    assert stats["refreshed"] and stats["mode"] == "full"
+    assert {(r.repo, r.n) for r in d.read().collect()} == {("r1", 1), ("r2", 1)}
 
 
 def test_concurrent_writer_conflict(spark, tmp_table):
