@@ -611,13 +611,20 @@ class LakeTable:
             return files
         bkts = self._buckets_for_repos(repos, rec["n_buckets"])
         files = [f for f in files if f["bucket"] in bkts]
+        import bisect
+
         rs = sorted(repos)
-        return [
-            f
-            for f in files
-            if f.get("rmin") is None
-            or any(f["rmin"] <= r <= f["rmax"] for r in rs)
-        ]
+
+        def overlaps(f: dict) -> bool:
+            # first repo >= rmin; the file matches iff it also fits rmax —
+            # O(log repos) per file instead of a linear scan (wide lookups
+            # over many files are a driver-side cost)
+            if f.get("rmin") is None:
+                return True  # no bounds recorded: keep (conservative)
+            i = bisect.bisect_left(rs, f["rmin"])
+            return i < len(rs) and rs[i] <= f["rmax"]
+
+        return [f for f in files if overlaps(f)]
 
     def read_internal(
         self, repos: list[str] | None = None, buckets: list[int] | None = None
