@@ -196,9 +196,104 @@ def ann_lsh_bucketed(
     )
 
 
+def _cell_sims_expr(cents):
+    """array<struct<sim,negid>> of a row's cosine to every centroid.
+    struct(sim, -c_id): array_max picks the highest sim, ties → smallest
+    c_id (the exact order the old window-based rank used: desc(c_sim),
+    asc(c_id)). Centroids are literal arrays — assignment is a pure
+    projection inside whole-stage codegen, zero exchanges."""
+    import math
+
+    vnorm = _norm(F.col("embedding"))
+    return F.array(
+        *[
+            F.struct(
+                (
+                    _dot(F.col("embedding"), F.array(*[F.lit(v) for v in emb]))
+                    / (vnorm * F.lit(math.sqrt(sum(v * v for v in emb))))
+                ).alias("sim"),
+                F.lit(-c_id).alias("negid"),
+            )
+            for c_id, emb in cents
+        ]
+    )
+
+
+def ivf_train(e, n_cells: int = 8, kmeans_iters: int = 0, track: bool = False):
+    """Pick deterministic seed centroids and optionally Lloyd-refine them.
+
+    Seed selection is a pure predicate on vec_id (`vec_id % 97 == 0 AND
+    vec_id < 97*n_cells`) — NOT `.limit()`, whose row choice is
+    plan/partitioning-dependent (the VERDICT r1 determinism bug).
+
+    Lloyd refinement (the training step of a real IVF index): each round
+    assigns every vector to its nearest centroid by cosine and moves the
+    centroid to the cell mean (for cosine assignment the mean's direction
+    is what matters, so this is spherical k-means; the objective
+    Σ cos(v, centroid(v)) is non-decreasing per round). Scale shape: the
+    mean is DIM per-dimension partial-aggregated avg()s — map-side combine
+    shuffles only n_cells × DIM partials per task, NO row inflation (a
+    posexplode-based mean would push a DIM× blowup through the exchange).
+    Means are rounded before they become literals so the refined centroids
+    — like the seeds — are plain driver-resident constants; empty cells
+    keep their previous centroid. kmeans_iters=0 (the registered-query
+    default) keeps bit-determinism under any partitioning (FP summation
+    order in avg() is partition-dependent; rounding makes flips vanishingly
+    rare but the contract stays honest).
+
+    Returns (cents, stats): cents = [(c_id, [float]*DIM)], stats = one dict
+    per assignment round when track=True — {'objective': Σ cos(v, c(v)),
+    'cell_sizes': sorted counts} — measured BEFORE that round's update, plus
+    a final entry for the returned centroids. track=True costs one extra
+    aggregation job per round; it exists for tests/benchmarks only.
+    """
+    cents = sorted(
+        (r["c_id"], [float(x) for x in r["c_emb"]])
+        for r in e.where(
+            (F.pmod(F.col("vec_id"), F.lit(97)) == 0)
+            & (F.col("vec_id") < 97 * n_cells)
+        )
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+        .collect()
+    )
+
+    def measure(cs):
+        best = F.array_max(_cell_sims_expr(cs))
+        row = (
+            e.select(best.getField("sim").alias("s"), (-best.getField("negid")).alias("c"))
+            .groupBy("c")
+            .agg(F.sum("s").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        return {
+            "objective": float(sum(r["s"] for r in row)),
+            "cell_sizes": sorted(int(r["n"]) for r in row),
+        }
+
+    stats = []
+    for _ in range(max(0, kmeans_iters)):
+        if track:
+            stats.append(measure(cents))
+        asg = e.select(
+            "vec_id", "embedding",
+            (-F.array_max(_cell_sims_expr(cents)).getField("negid")).alias("c_id"),
+        )
+        means = asg.groupBy("c_id").agg(
+            *[F.avg(F.col("embedding").getItem(i)).alias(f"d{i}") for i in range(DIM)]
+        ).collect()
+        moved = {
+            int(r["c_id"]): [round(float(r[f"d{i}"]), 6) for i in range(DIM)]
+            for r in means
+        }
+        cents = [(c_id, moved.get(c_id, emb)) for c_id, emb in cents]
+    if track:
+        stats.append(measure(cents))
+    return cents, stats
+
+
 def ann_ivf_probe(
     spark, sf, n_queries: int = 5, k: int = 5, n_cells: int = 8,
-    n_probe: int = 1, e=None,
+    n_probe: int = 1, kmeans_iters: int = 0, e=None,
 ):
     """IVF-flat shape: coarse 'centroids' are a deterministic subset of the
     corpus; every vector is assigned to its nearest centroid; queries probe
@@ -218,38 +313,18 @@ def ann_ivf_probe(
     and each vector computes its argmax over literal arrays inside
     whole-stage codegen. Zero exchanges before the (cell) equi-join
     against the broadcast query side. A corpus vector lives in exactly
-    one cell, so multi-probe never duplicates a candidate pair."""
+    one cell, so multi-probe never duplicates a candidate pair.
+
+    `kmeans_iters` Lloyd-refines the seed centroids (see ivf_train): the
+    spherical-k-means objective rises and cells balance — bounding
+    per-probe scan cost, the production reason to train an IVF index.
+    Recall at a FIXED n_probe is data-dependent (on structureless uniform
+    embeddings balanced cells can lower it vs a lucky oversized seed
+    cell); raise n_probe to buy recall, kmeans_iters to bound cost."""
     e = table(spark, sf, "embeddings") if e is None else e
-    import math
 
-    cents = sorted(
-        (
-            r["c_id"],
-            [float(x) for x in r["c_emb"]],
-        )
-        for r in e.where(
-            (F.pmod(F.col("vec_id"), F.lit(97)) == 0)
-            & (F.col("vec_id") < 97 * n_cells)
-        )
-        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
-        .collect()
-    )
-
-    vnorm = _norm(F.col("embedding"))
-    # struct(sim, -c_id): array_max picks highest sim, ties → smallest c_id
-    # (the exact order the old window used: desc(c_sim), asc(c_id))
-    sims = F.array(
-        *[
-            F.struct(
-                (
-                    _dot(F.col("embedding"), F.array(*[F.lit(v) for v in emb]))
-                    / (vnorm * F.lit(math.sqrt(sum(v * v for v in emb))))
-                ).alias("sim"),
-                F.lit(-c_id).alias("negid"),
-            )
-            for c_id, emb in cents
-        ]
-    )
+    cents, _ = ivf_train(e, n_cells=n_cells, kmeans_iters=kmeans_iters)
+    sims = _cell_sims_expr(cents)
     assigned = e.select(
         "vec_id", "embedding", (-F.array_max(sims).getField("negid")).alias("c_id")
     )
