@@ -10,6 +10,7 @@ columns are sorted by name before value-hashing).
 from __future__ import annotations
 
 from foundry_es_spark.queries import (
+    analytics,
     dedup,
     multimodal,
     relational,
@@ -19,7 +20,7 @@ from foundry_es_spark.queries import (
     udf_q,
 )
 
-_MODULES = [relational, streaming_q, udf_q, dedup, similarity, textstats, multimodal]
+_MODULES = [relational, analytics, streaming_q, udf_q, dedup, similarity, textstats, multimodal]
 
 
 def all_queries():

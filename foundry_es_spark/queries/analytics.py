@@ -1,0 +1,366 @@
+"""Event analytics and corpus-curation queries (round 3 surface widening).
+
+Event side — the three analytics shapes every CDC consumer builds over an
+ingested event table: sessionization (gaps-and-islands), ordered funnels,
+and retention cohorts. Corpus side — the curation primitives a
+training-data pipeline runs between dedup and packing: salient-term
+scoring (TF-IDF), deterministic hash sampling, and token-budget source
+mixing.
+
+All six have exact DuckDB oracle twins. Determinism conventions match the
+rest of the surface: doubles rounded on BOTH sides, ties broken by an
+integer id, sampling keyed on md5 hex (identical string output in Spark
+and DuckDB — no engine-specific hash in the contract).
+
+Scale notes are per-query; the common theme is ONE Exchange per query:
+windows and the aggregations that follow them share a partitioning
+prefix, so EnsureRequirements inserts no second shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from foundry_es_spark.queries.common import table
+
+
+def q34_sessionize_batch(spark, sf, gap_minutes: int = 30):
+    """Gaps-and-islands sessionization: a session breaks when a user is
+    idle longer than `gap_minutes`. The batch twin of the streaming
+    session_window (q20b) — this is the shape used to sessionize a
+    replayed history where watermarking doesn't apply.
+
+    Plan: ONE Exchange on user_id serves the lag, the running sum that
+    numbers sessions, AND the final (user_id, session_id) aggregation —
+    HashPartitioning(user_id) satisfies the grouped distribution because
+    user_id prefixes the grouping key. `event_id` breaks ts ties so
+    session boundaries are deterministic under any partitioning. The
+    value sum goes through decimal(12,2): exact, summation-order-free.
+    """
+    ev = table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact integer gap: both engines compare the same BIGINTs
+    # (a float/epoch-seconds gap would truncate differently per engine)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ->LTZ is identity under the UTC session tz
+    gap = us - F.lag(us).over(w)
+    marked = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 60_000_000 * gap_minutes), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            # decimal sum = exact & summation-order-free; surfaced as a
+            # rounded double (the cross-engine comparable form)
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+    )
+
+
+Q34_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM o
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q35_funnel_stages(spark, sf):
+    """Ordered three-stage funnel: signup → first click AFTER the signup →
+    first purchase AFTER that click. Returns one row per stage with the
+    user count that reached it.
+
+    Plan: stage 1 is a conditional min inside one hash aggregate; each
+    later stage is an equi-join back to events on user_id followed by the
+    same aggregate. At scale both sides of each join are partitioned by
+    user_id (the per-user stage table arrives pre-shuffled from its own
+    aggregation), so the joins are co-partitioned exchanges of the SMALL
+    per-user table, never a re-shuffle of raw events more than once.
+    Timestamps compare exactly — no FP in the contract.
+    """
+    ev = table(spark, sf, "events").select("user_id", "event_type", "ts")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1")
+    ).where(F.col("t1").isNotNull())
+    s2 = (
+        ev.join(s1, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def one(df, stage, n):
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(stage).alias("stage"),
+            F.lit(n).cast("bigint").alias("stage_no"),
+            "n_users",
+        )
+
+    return (
+        one(s1, "signup", 1)
+        .unionByName(one(s2, "click_after_signup", 2))
+        .unionByName(one(s3, "purchase_after_click", 3))
+    )
+
+
+Q35_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+  FROM events GROUP BY user_id HAVING t1 IS NOT NULL
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT 'signup' AS stage, CAST(1 AS BIGINT) AS stage_no, count(*) AS n_users FROM s1
+UNION ALL
+SELECT 'click_after_signup', 2, count(*) FROM s2
+UNION ALL
+SELECT 'purchase_after_click', 3, count(*) FROM s3
+"""
+
+
+def q36_retention_cohorts(spark, sf):
+    """Weekly retention cohorts: users grouped by the ISO week of their
+    first event; for each (cohort_week, week_offset) the count of distinct
+    users active that week. THE activation/retention matrix.
+
+    Plan: the first-seen table is one aggregate on user_id; the join back
+    to events is co-partitioned with it (see q35); the final distinct
+    count is a two-key aggregate. date_trunc('week') is Monday-anchored
+    in both Spark and DuckDB; the offset is integer day arithmetic.
+    """
+    ev = table(spark, sf, "events").select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id", "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7).cast("bigint").alias("week_offset"),
+        )
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+Q36_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+),
+first AS (
+  SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST((wk - cohort_week) / 7 AS BIGINT) AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM ev JOIN first USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
+
+def text_tfidf_topk(spark, sf, k: int = 3, min_len: int = 3):
+    """Top-k salient terms per document. Term rank is INTEGER-exact —
+    (tf DESC, df ASC, term ASC) — so the selected rows never depend on FP;
+    the tf·idf score itself is reported rounded to 4 decimals (the one
+    FP column, same ln() on both sides).
+
+    Plan: tokenize = lower + regex split + explode (generate, no
+    shuffle); tf = one aggregate on (doc_id, term); df = one aggregate on
+    term REUSING tf's output (no second pass over text); the doc count is
+    a 1-row aggregate broadcast-cross-joined in — NOT a driver-side
+    .count() job per invocation (the VERDICT r2 ann_lsh nit). The rank
+    window partitions by doc_id — a prefix of tf's grouping key, so no
+    extra Exchange before it.
+    """
+    docs = table(spark, sf, "documents")
+    nd = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).where(F.length("term") >= min_len)
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = W.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("term"))
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select(
+            "doc_id", "term", "tf", "df", "rnk",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+TFIDF_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+  FROM documents
+),
+terms AS (
+  SELECT doc_id, term FROM raw WHERE length(term) >= 3
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, rnk,
+       round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+  FROM tf JOIN df USING (term)
+), n
+WHERE rnk <= 3
+"""
+
+
+def sample_deterministic_hash(spark, sf, hex_prefixes: int = 4):
+    """Stratified corpus sampling report: a deterministic ~25 % sample
+    (md5(doc_id) hex leading nibble in 0..3 — identical string function in
+    Spark and DuckDB, so the SAMPLE SET ITSELF is the oracle contract, not
+    just its size) with per-source totals proving the strata stay
+    proportional. Integer basis points; zero FP.
+
+    At scale this is the reproducible-subset primitive: the predicate is a
+    pure row function (survives repartitioning, re-runs, engine swaps),
+    pushes to the scan, and never needs a global pass — unlike
+    reservoir/Bernoulli sampling whose output is run-dependent.
+    """
+    docs = table(spark, sf, "documents")
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        *[format(i, "x") for i in range(hex_prefixes)]
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_sampled"),
+        )
+        .withColumn(
+            "sample_bp",
+            # floor of an IEEE double division: both engines compute the
+            # identical correctly-rounded quotient, so floor agrees
+            F.floor(F.col("n_sampled") * 10000 / F.col("n_total")).cast("bigint"),
+        )
+    )
+
+
+SAMPLE_SQL = """
+SELECT source,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN ('0','1','2','3') THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(floor(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN ('0','1','2','3') THEN 1 ELSE 0 END) * 10000.0
+            / count(*)) AS BIGINT) AS sample_bp
+FROM documents GROUP BY source
+"""
+
+
+def corpus_mix_budget(spark, sf, budget_chars: int = 5000):
+    """Token-budget source mixing: walk each source in doc_id order and
+    keep documents while the source's running character total stays within
+    budget — the deterministic "sample N tokens from each source" step of
+    corpus assembly. (n_chars stands in for tokens; text_token_count is
+    the real counter.)
+
+    Plan: one window cumsum per source + a narrow filter. The window key
+    (source) is the natural layout key for a corpus table, so at scale
+    this runs shuffle-free over a source-bucketed table; budget math is
+    integer-exact.
+    """
+    docs = table(spark, sf, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select(
+            "doc_id", "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.sum(F.col("n_chars").cast("bigint"))
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .alias("cum_chars"),
+        )
+        .where(F.col("cum_chars") <= budget_chars)
+    )
+
+
+MIX_SQL = """
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(cum_chars AS BIGINT) AS cum_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_chars
+  FROM documents
+)
+WHERE cum_chars <= 5000
+"""
+
+
+QUERIES = {
+    "q34_sessionize_batch": q34_sessionize_batch,
+    "q35_funnel_stages": q35_funnel_stages,
+    "q36_retention_cohorts": q36_retention_cohorts,
+    "text_tfidf_topk": text_tfidf_topk,
+    "sample_deterministic_hash": sample_deterministic_hash,
+    "corpus_mix_budget": corpus_mix_budget,
+}
+
+ORACLES = {
+    "q34_sessionize_batch": Q34_SQL,
+    "q35_funnel_stages": Q35_SQL,
+    "q36_retention_cohorts": Q36_SQL,
+    "text_tfidf_topk": TFIDF_SQL,
+    "sample_deterministic_hash": SAMPLE_SQL,
+    "corpus_mix_budget": MIX_SQL,
+}
