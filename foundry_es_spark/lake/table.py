@@ -91,6 +91,29 @@ def _footer_key_bounds(path: str, key_col: str) -> tuple[str, str] | None:
         return None
 
 
+def _file_key_fingerprints(path: str, key_col: str) -> str | None:
+    """Key-fingerprint set (lake/kfp.py) for a file the JVM writer just
+    produced. The fused sinks compute this in-task over the Arrow column
+    for free; here the file already exists, so it is one driver-side
+    single-column read of a freshly written local file — gated by file
+    size so the initial-load / compacted-base case (large files whose
+    distinct keys exceed KFP_CAP anyway) skips straight to None, the
+    same driver-side-stat-collection budget as :func:`_footer_key_bounds`.
+    None = no fingerprint recorded = file kept conservatively."""
+    try:
+        if os.path.getsize(path) > 32 * 1024 * 1024:
+            return None
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from foundry_es_spark.lake.kfp import kfp_encode
+
+        t = pq.read_table(path, columns=[key_col])
+        return kfp_encode(pc.unique(t.column(key_col)).to_pylist())
+    except Exception:
+        return None
+
+
 def bucket_expr(n_buckets: int):
     """Bucket assignment — pmod(xxhash64(repo), N). On the Iceberg backend
     this is the partition spec ``bucket(N, repo)``; co-locating a repo's
@@ -356,8 +379,15 @@ class LakeTable:
                 if pa.types.is_string(kcol.type) or pa.types.is_large_string(kcol.type):
                     mm = pc.min_max(kcol)
                     rmin, rmax = mm["min"].as_py(), mm["max"].as_py()
+                    # key-fingerprint set (lake/kfp.py) for point-lookup
+                    # pruning; in-task over the merged Arrow column — free.
+                    # Compacted buckets usually exceed KFP_CAP distinct keys
+                    # and record None (bounds describe them fine).
+                    from foundry_es_spark.lake.kfp import kfp_encode
+
+                    kfp = kfp_encode(pc.unique(kcol).to_pylist())
                 else:  # non-string partition key: no file bounds (pruning skips)
-                    rmin = rmax = None
+                    rmin = rmax = kfp = None
                 yield pa.RecordBatch.from_pydict(
                     {
                         "bucket": pa.array([b], pa.int32()),
@@ -365,6 +395,7 @@ class LakeTable:
                         "rows": pa.array([out.num_rows], pa.int64()),
                         "rmin": pa.array([rmin], pa.string()),
                         "rmax": pa.array([rmax], pa.string()),
+                        "kfp": pa.array([kfp], pa.string()),
                     }
                 )
 
@@ -524,7 +555,7 @@ class LakeTable:
         rdd = self.spark.sparkContext.parallelize(meta_rows, max(1, len(meta_rows)))
         meta_df = self.spark.createDataFrame(rdd, "bucket int, files string")
         result_schema = (
-            "bucket int, path string, rows long, rmin string, rmax string"
+            "bucket int, path string, rows long, rmin string, rmax string, kfp string"
             if write_rel
             else out_schema
         )
@@ -597,12 +628,21 @@ class LakeTable:
         `buckets` prunes by explicit bucket ids (callers that already know
         the touched buckets, e.g. the no-op-suppression state read).
 
-        Within the surviving buckets, files carrying recorded key bounds
-        (``rmin``/``rmax``, written by every sink path) are dropped when no
-        target repo falls inside them — file-level pruning decided entirely
-        on the driver from commit metadata, before a single footer is
-        opened or task scheduled (bounds-less files are kept:
-        conservative)."""
+        Within the surviving buckets, two driver-side metadata checks drop
+        files before a single footer is opened or task scheduled:
+
+        1. key RANGE — files carrying recorded bounds (``rmin``/``rmax``,
+           written by every sink path) are dropped when no target repo
+           falls inside them;
+        2. key SET — files carrying a fingerprint set (``kfp``, see
+           lake/kfp.py) are dropped when no target repo's fingerprint is
+           a member. This is what actually prunes DELTA generations: an
+           epoch's delta file holds few distinct repos scattered across
+           the key space, so its [min,max] spans everything while its
+           key set is tiny.
+
+        Files lacking either stat are kept for that check (conservative);
+        both stats only over-keep, never over-prune."""
         files = rec["files"]
         if buckets is not None:
             bset = set(buckets)
@@ -613,16 +653,22 @@ class LakeTable:
         files = [f for f in files if f["bucket"] in bkts]
         import bisect
 
+        from foundry_es_spark.lake.kfp import key_fingerprint, kfp_probe
+
         rs = sorted(repos)
+        probe_fps = {key_fingerprint(r) for r in repos}
 
         def overlaps(f: dict) -> bool:
             # first repo >= rmin; the file matches iff it also fits rmax —
             # O(log repos) per file instead of a linear scan (wide lookups
             # over many files are a driver-side cost)
-            if f.get("rmin") is None:
-                return True  # no bounds recorded: keep (conservative)
-            i = bisect.bisect_left(rs, f["rmin"])
-            return i < len(rs) and rs[i] <= f["rmax"]
+            if f.get("rmin") is not None:
+                i = bisect.bisect_left(rs, f["rmin"])
+                if not (i < len(rs) and rs[i] <= f["rmax"]):
+                    return False
+            if f.get("kfp") is not None and not kfp_probe(f["kfp"], probe_fps):
+                return False
+            return True
 
         return [f for f in files if overlaps(f)]
 
@@ -816,11 +862,13 @@ class LakeTable:
                         "bucket": b,
                         "schema_version": schema_version,
                     }
-                    bounds = _footer_key_bounds(
-                        os.path.join(out_dir, bdir, fn), key_cols[0]
-                    )
+                    fpath = os.path.join(out_dir, bdir, fn)
+                    bounds = _footer_key_bounds(fpath, key_cols[0])
                     if bounds is not None:
                         entry["rmin"], entry["rmax"] = bounds
+                    kfp = _file_key_fingerprints(fpath, key_cols[0])
+                    if kfp is not None:
+                        entry["kfp"] = kfp
                     files.append(entry)
         return files
 
@@ -941,6 +989,7 @@ class LakeTable:
                 # driver-side file pruning for selective reads
                 **({"rmin": f["rmin"], "rmax": f["rmax"]}
                    if f.get("rmin") is not None else {}),
+                **({"kfp": f["kfp"]} if f.get("kfp") is not None else {}),
             }
             for f in files
         ]
@@ -1023,6 +1072,7 @@ class LakeTable:
                 "schema_version": rec["schema_version"],
                 **({"rmin": r["rmin"], "rmax": r["rmax"]}
                    if r["rmin"] is not None else {}),
+                **({"kfp": r["kfp"]} if r["kfp"] is not None else {}),
             }
             for r in meta.collect()
         ]

@@ -332,8 +332,14 @@ def compact_sorted_partitions(
             if pa.types.is_string(kcol.type) or pa.types.is_large_string(kcol.type):
                 mm = pc.min_max(kcol)
                 rmin, rmax = mm["min"].as_py(), mm["max"].as_py()
+                # key-fingerprint set (lake/kfp.py): point-lookup pruning
+                # where a delta file's [min,max] spans the key space;
+                # in-task over the already-materialized Arrow column — free
+                from foundry_es_spark.lake.kfp import kfp_encode
+
+                kfp = kfp_encode(pc.unique(kcol).to_pylist())
             else:
-                rmin = rmax = None
+                rmin = rmax = kfp = None
             yield pa.RecordBatch.from_pydict(
                 {
                     "bucket": pa.array([int(b)], pa.int32()),
@@ -344,6 +350,7 @@ def compact_sorted_partitions(
                     "deletes": pa.array([int(deletes)], pa.int64()),
                     "rmin": pa.array([rmin], pa.string()),
                     "rmax": pa.array([rmax], pa.string()),
+                    "kfp": pa.array([kfp], pa.string()),
                 }
             )
         _report(n)
@@ -352,7 +359,7 @@ def compact_sorted_partitions(
         return parted.mapInArrow(
             _dedup_gen,
             schema="bucket int, path string, rows long, deletes long, "
-                   "rmin string, rmax string",
+                   "rmin string, rmax string, kfp string",
         )
     return parted.mapInArrow(_dedup_gen, schema=out_schema).drop("_salt")
 

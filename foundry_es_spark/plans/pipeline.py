@@ -670,7 +670,7 @@ class CdcPipeline:
             version,
             [
                 {"path": r["path"], "bucket": r["bucket"],
-                 "rmin": r["rmin"], "rmax": r["rmax"]}
+                 "rmin": r["rmin"], "rmax": r["rmax"], "kfp": r["kfp"]}
                 for r in file_rows
             ],
             fence=(self.cfg.pipeline_id, epoch_id),

@@ -164,6 +164,47 @@ def test_selective_read_prunes_files_by_key_bounds(spark, tmp_table):
     assert {r.content for r in t.read(repos=["zzz"]).collect()} == {"z0", "z1", "z2"}
 
 
+def test_selective_read_prunes_files_by_key_fingerprints(spark, tmp_table):
+    """Key-fingerprint pruning (lake/kfp.py) catches what bounds can't:
+    ONE bucket, and every delta file spans [aaa, zzz] — so range pruning
+    keeps ALL files for any probe — yet each file holds only its own two
+    repos, so the fingerprint set isolates exactly the files that can
+    contain the probed key. Every writer path records kfp; a probe for a
+    repo in NO file prunes everything without opening one."""
+    from foundry_es_spark.lake.kfp import key_fingerprint, kfp_probe
+
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=1)
+    # JVM writer path (merge_upsert -> _write_bucket_data)
+    t.merge_upsert(_batch(spark, [("aaa", "p", "c0", "py", "a0", 0, "I"),
+                                  ("zzz", "p", "c0", "py", "z0", 1, "I")]))
+    # JVM delta path: file spans aaa..zzz but holds neither "mmm" nor "qqq"
+    t.append_delta(_batch(spark, [("aab", "p", "c0", "py", "b0", 2, "I"),
+                                  ("zzy", "p", "c0", "py", "y0", 3, "I")]))
+    # another wide-span delta with different keys
+    t.append_delta(_batch(spark, [("aac", "p", "c0", "py", "c0", 4, "I"),
+                                  ("zzx", "p", "c0", "py", "x0", 5, "I")]))
+    rec = t._current()
+    assert all(f.get("kfp") for f in rec["files"]), \
+        "every writer must record key fingerprints"
+    # bounds alone keep all 3 files for any aab..zzy probe; kfp isolates 1
+    assert len(t._pruned_files(rec, ["aab"])) == 1
+    assert len(t._pruned_files(rec, ["zzx"])) == 1
+    # a key in no file prunes everything driver-side
+    assert t._pruned_files(rec, ["mmm"]) == []
+    assert t.read(repos=["mmm"]).count() == 0
+    # correctness through the MoR merge is unchanged
+    assert {r.content for r in t.read(repos=["aab"]).collect()} == {"b0"}
+    assert {r.content for r in t.read(repos=["zzx", "aaa"]).collect()} == {"x0", "a0"}
+    # fused compaction writer records kfp too (under cap here), and a
+    # recorded fingerprint always matches its own key (no false negatives)
+    t.compact_buckets([0])
+    rec2 = t._current()
+    assert all(f.get("kfp") for f in rec2["files"])
+    for repo in ("aaa", "aab", "aac", "zzx", "zzy", "zzz"):
+        assert kfp_probe(rec2["files"][0]["kfp"], {key_fingerprint(repo)})
+    assert {r.content for r in t.read(repos=["zzx"]).collect()} == {"x0"}
+
+
 def test_time_travel_and_change_feed(spark, tmp_table):
     """read_at_version reproduces historical state; table_changes yields
     the per-commit change rows (MoR delta files) projected to the current
