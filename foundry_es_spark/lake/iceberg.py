@@ -24,6 +24,13 @@ MoR vs CoW maps to Iceberg table properties, not different statements:
 delete-files + data-files (delta generations), ``copy-on-write`` rewrites
 touched files; ``compact_buckets`` becomes ``rewrite_data_files`` with a
 bucket-partition filter.
+
+File-pruning stat parity: the local backend's per-file key bounds and
+key-fingerprint sets (lake/kfp.py) correspond on Iceberg to manifest
+column bounds (collected automatically) and parquet bloom filters —
+``write.parquet.bloom-filter-enabled.column.repo = true`` in the CREATE
+properties below — so selective reads prune the same way on both
+backends.
 """
 
 from __future__ import annotations
@@ -80,7 +87,8 @@ class IcebergBackend:
               'write.update.mode' = '{self.merge_mode}',
               'write.delete.mode' = '{self.merge_mode}',
               'write.distribution-mode' = 'hash',
-              'write.parquet.compression-codec' = 'zstd'
+              'write.parquet.compression-codec' = 'zstd',
+              'write.parquet.bloom-filter-enabled.column.repo' = 'true'
             )"""
         )
         self._run(f"ALTER TABLE {self.fqtn} SET IDENTIFIER FIELDS {', '.join(KEY_COLS)}")

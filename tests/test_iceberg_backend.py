@@ -33,7 +33,10 @@ def test_create_ddl_golden(be):
         "'format-version' = '2', 'write.merge.mode' = 'merge-on-read', "
         "'write.update.mode' = 'merge-on-read', 'write.delete.mode' = 'merge-on-read', "
         "'write.distribution-mode' = 'hash', "
-        "'write.parquet.compression-codec' = 'zstd' )"
+        "'write.parquet.compression-codec' = 'zstd', "
+        # cluster twin of the local backend's key-fingerprint sets
+        # (lake/kfp.py): parquet bloom filter on the partition key
+        "'write.parquet.bloom-filter-enabled.column.repo' = 'true' )"
     )
     assert ident == "ALTER TABLE lake.db.code SET IDENTIFIER FIELDS repo, path"
 
