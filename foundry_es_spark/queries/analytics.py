@@ -347,6 +347,84 @@ WHERE cum_chars <= 5000
 """
 
 
+def q37_date_spine(spark, sf):
+    """Date-spine densification: every (user, day) cell over the table's
+    full date range, zero-filled — the gap-free daily activity matrix that
+    feeds charting/forecasting (a LEFT JOIN against a generated calendar,
+    the standard dbt "date spine").
+
+    Plan: the spine is generated, not stored — a 1-row min/max aggregate
+    explodes into the day sequence (tiny), broadcast-crossed with the
+    distinct-user table; the activity side is one (user, day) aggregate of
+    events. The only full-table work is that aggregate; the left join's
+    build side (days) is broadcast so the spine never shuffles."""
+    ev = table(spark, sf, "events").select(
+        "user_id", F.to_date(F.col("ts")).alias("d")
+    )
+    days = (
+        ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    spine = ev.select("user_id").distinct().crossJoin(F.broadcast(days))
+    acts = ev.groupBy("user_id", "d").agg(F.count("*").alias("n"))
+    return (
+        spine.join(acts, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+Q37_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+),
+days AS (
+  SELECT unnest(generate_series(min(d), max(d), INTERVAL 1 DAY))::DATE AS d FROM ev
+),
+spine AS (
+  SELECT DISTINCT user_id FROM ev
+),
+acts AS (
+  SELECT user_id, d, count(*) AS n FROM ev GROUP BY user_id, d
+)
+SELECT spine.user_id,
+       strftime(days.d, '%Y-%m-%d') AS day,
+       CAST(coalesce(acts.n, 0) AS BIGINT) AS n_events
+FROM spine CROSS JOIN days
+LEFT JOIN acts ON acts.user_id = spine.user_id AND acts.d = days.d
+"""
+
+
+def q38_distribution_ranks(spark, sf):
+    """Value-distribution window functions: percent_rank, cume_dist and
+    ntile(4) of order totalprice within each order priority. These are
+    rational-arithmetic definitions ((rank-1)/(n-1), etc.) identical in
+    both engines; o_orderkey breaks price ties so every rank is
+    deterministic. One exchange + one sort serve all three."""
+    o = table(spark, sf, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+Q38_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 QUERIES = {
     "q34_sessionize_batch": q34_sessionize_batch,
     "q35_funnel_stages": q35_funnel_stages,
@@ -354,6 +432,8 @@ QUERIES = {
     "text_tfidf_topk": text_tfidf_topk,
     "sample_deterministic_hash": sample_deterministic_hash,
     "corpus_mix_budget": corpus_mix_budget,
+    "q37_date_spine": q37_date_spine,
+    "q38_distribution_ranks": q38_distribution_ranks,
 }
 
 ORACLES = {
@@ -363,4 +443,6 @@ ORACLES = {
     "text_tfidf_topk": TFIDF_SQL,
     "sample_deterministic_hash": SAMPLE_SQL,
     "corpus_mix_budget": MIX_SQL,
+    "q37_date_spine": Q37_SQL,
+    "q38_distribution_ranks": Q38_SQL,
 }

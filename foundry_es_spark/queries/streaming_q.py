@@ -380,6 +380,77 @@ FROM events e GROUP BY e.user_id
 """
 
 
+def q23c_stream_stream_join(spark, sf):
+    """Stream-STREAM interval join — the last Structured Streaming join
+    shape the surface lacked: each user's purchases joined to the clicks
+    that preceded them by <= 10 minutes. Both sides are watermarked and
+    the join carries an event-time range condition, so at unbounded scale
+    the state store retains only the watermark-deep window per side (Spark
+    derives the state eviction bound from the range predicate); without
+    the range this join would be ever-growing state. Bounded availableNow
+    run + 1h watermark = nothing dropped, so the batch SQL twin is exact.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        src = _events_stream_dir(sf)
+
+        def side(event_type, pfx):
+            return (
+                spark.readStream.schema(EVENTS_DDL)
+                .option("maxFilesPerTrigger", 4)
+                .parquet(src)
+                .where(F.col("event_type") == event_type)
+                .select(
+                    F.col("user_id").alias(f"{pfx}_user"),
+                    F.col("ts").alias(f"{pfx}_ts"),
+                    F.col("event_id").alias(f"{pfx}_id"),
+                    F.col("value").alias(f"{pfx}_value"),
+                )
+                .withWatermark(f"{pfx}_ts", "1 hour")
+            )
+
+        joined = side("click", "c").join(
+            side("purchase", "p"),
+            F.expr(
+                "c_user = p_user AND "
+                "p_ts > c_ts AND p_ts <= c_ts + INTERVAL 10 MINUTES"
+            ),
+            "inner",
+        ).select(
+            F.col("c_user").alias("user_id"),
+            F.col("c_id").alias("click_id"),
+            F.col("p_id").alias("purchase_id"),
+            F.round("p_value", 2).alias("purchase_value"),
+        )
+
+        name = "q_" + uuid.uuid4().hex[:12]
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+Q23C_SQL = """
+SELECT c.user_id AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       round(p.value, 2) AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+"""
+
+
 QUERIES = {
     "q19_stream_tumbling_agg": q19_stream_tumbling_agg,
     "q20_stream_sliding_agg": q20_stream_sliding_agg,
@@ -388,6 +459,7 @@ QUERIES = {
     "q22_stream_dedup": q22_stream_dedup,
     "q23_stream_static_join": q23_stream_static_join,
     "q23b_stream_stateful_custom": q23b_stream_stateful_custom,
+    "q23c_stream_stream_join": q23c_stream_stream_join,
 }
 
 ORACLES = {
@@ -398,4 +470,5 @@ ORACLES = {
     "q22_stream_dedup": Q22_SQL,
     "q23_stream_static_join": Q23_SQL,
     "q23b_stream_stateful_custom": Q23B_SQL,
+    "q23c_stream_stream_join": Q23C_SQL,
 }
