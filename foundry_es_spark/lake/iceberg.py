@@ -327,6 +327,18 @@ class IcebergBackend:
         self._run(self.expire_snapshots_sql(keep_last))
         return -1  # count comes from the procedure's result set on a cluster
 
+    def rollback_sql(self, snapshot_id: int) -> str:
+        """Restore-to-snapshot — the Iceberg twin of LakeTable.rollback:
+        `system.rollback_to_snapshot` moves the table's current snapshot
+        pointer back (metadata-only, history retained, same
+        rollback-then-replay recovery contract)."""
+        catalog = self.fqtn.split(".")[0]
+        tbl = self.fqtn.split(".", 1)[1]
+        return (
+            f"CALL {catalog}.system.rollback_to_snapshot("
+            f"table => '{tbl}', snapshot_id => {int(snapshot_id)})"
+        )
+
     def vacuum_sql(self) -> str:
         """Orphan cleanup — the twin of the local vacuum's attempt-debris
         sweep: files in the table location no snapshot references

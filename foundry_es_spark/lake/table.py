@@ -716,6 +716,39 @@ class LakeTable:
             )
         return df.where(F.col("_op") != "D").select(*names)
 
+    def rollback(self, version: int) -> int:
+        """Iceberg ``rollback_to_snapshot`` parity: restore the table to
+        the exact state of commit `version` as a NEW commit. Pure
+        metadata — no data file is read or written; the undone commits
+        stay readable for time travel until :meth:`expire_snapshots`, and
+        their now-unreferenced files are reclaimed by :meth:`vacuum`.
+
+        The WHOLE state reverts, fences included: epochs applied after
+        `version` become unfenced again, so replaying the same event log
+        re-applies them exactly-once — rollback + replay is the
+        recover-from-bad-deploy path, not a data-loss footgun. (Lineage is
+        an append-only side table and intentionally keeps the full
+        history, including the rolled-back epochs.)
+
+        Rolling back PAST a retention floor raises ``SnapshotExpired``
+        (loud), and past a vacuum'd snapshot the restored metadata would
+        reference deleted files — same hazard as Iceberg rollback after
+        ``expire_snapshots``; keep retention ≥ rollback horizon.
+
+        Returns the new head version."""
+        cur = self._current()
+        if version > cur["version"]:
+            raise ValueError(
+                f"cannot roll forward: table at {cur['version']}, asked {version}"
+            )
+        old = commitlog.read_commit(self.table_dir, version)
+        old.pop("epoch_info", None)
+        new_version = cur["version"] + 1
+        self._commit({**old, "version": new_version,
+                      "rolled_back_from": cur["version"],
+                      "rolled_back_to": version})
+        return new_version
+
     def table_changes(
         self, from_version: int = 0, to_version: int | None = None
     ) -> DataFrame:

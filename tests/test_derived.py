@@ -203,3 +203,42 @@ def test_streaming_fanout_keeps_derived_current(spark, tmp_path):
     assert pipe.table.read().count() > 0
     assert _rows(d.read()) == _rows(_expected(pipe.table))
     assert d.refresh()["refreshed"] is False  # already current
+
+
+def test_source_rollback_forces_full_recompute(spark, tmp_path):
+    """A rollback inside the refresh window means the change feed contains
+    undone (and re-fenceable) commits — the maintainer must recompute from
+    truth, never fold the feed. After recompute the derived table equals
+    the recompute of the ROLLED-BACK source state and the cursor is
+    re-anchored at the new head."""
+    import os
+
+    from foundry_es_spark.lake import log as commitlog
+
+    tmp = str(tmp_path)
+    pipe = _mk(spark, tmp)
+    d = _derived(spark, pipe, tmp)
+    epochs = sorted(
+        int(e.split("=")[1]) for e in os.listdir(f"{tmp}/events") if e.startswith("epoch=")
+    )
+    # consume epoch 0, snapshot the good version, then apply the rest
+    pipe.apply_epoch(spark.read.parquet(f"{tmp}/events/epoch={epochs[0]}"), epochs[0])
+    d.refresh()
+    v_good = commitlog.current_version(pipe.table.table_dir)
+    good_rows = _rows(_expected(pipe.table))
+    for e in epochs[1:]:
+        pipe.apply_epoch(spark.read.parquet(f"{tmp}/events/epoch={e}"), e)
+    d.refresh()
+    assert _rows(d.read()) != good_rows  # derived consumed the later epochs
+
+    pipe.table.rollback(v_good)
+    stats = d.refresh()
+    assert stats["refreshed"] and stats.get("mode") == "full", stats
+    assert _rows(d.read()) == good_rows
+    assert d.cursor() == commitlog.current_version(pipe.table.table_dir)
+    # and the undone epochs replay cleanly afterwards (fences reverted)
+    for e in epochs[1:]:
+        r = pipe.apply_epoch(spark.read.parquet(f"{tmp}/events/epoch={e}"), e)
+        assert not r["skipped"]
+    d.refresh()
+    assert _rows(d.read()) == _rows(_expected(pipe.table))

@@ -197,6 +197,11 @@ def test_maintenance_golden(be):
     assert be.vacuum_sql() == (
         "CALL lake.system.remove_orphan_files(table => 'db.code')"
     )
+    # cluster twin of LakeTable.rollback (metadata-only restore)
+    assert be.rollback_sql(987654321) == (
+        "CALL lake.system.rollback_to_snapshot("
+        "table => 'db.code', snapshot_id => 987654321)"
+    )
     n0 = len(be.sql_log)
     be.vacuum(keep_snapshots=2)  # expire to 3 retained + orphan sweep
     assert be.sql_log[n0:] == [

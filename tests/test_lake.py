@@ -604,3 +604,53 @@ def test_table_changes_plan_is_o_schema_versions(spark, tmp_table):
     # bounded feed still works on the path-derived version column
     tail = t.table_changes(from_version=int(vers[-1]))
     assert tail.count() == 1 and tail.collect()[0]["repo"] == f"r{n_versions-1}"
+
+
+def test_rollback_restores_state_fences_and_reclaims(spark, tmp_table):
+    """rollback(v) = Iceberg rollback_to_snapshot: metadata-only restore of
+    data + schema + FENCES (so rollback-then-replay re-applies the undone
+    epochs exactly-once), history retained for time travel, undone files
+    reclaimable by vacuum, roll-forward and expired targets loud errors."""
+    import pytest
+
+    from foundry_es_spark.lake import log as commitlog
+    from foundry_es_spark.lake.log import SnapshotExpired
+
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=2)
+    t.append_delta(_batch(spark, [("r1", "a", "c0", "py", "v0", 0, "I")]),
+                   fence=("p", 0))
+    v_good = commitlog.current_version(tmp_table)
+    good = {(r.repo, r.path, r.content) for r in t.read().collect()}
+
+    # two "bad deploy" epochs: an overwrite and a delete
+    t.append_delta(_batch(spark, [("r1", "a", "c1", "py", "BAD", 1, "U")]),
+                   fence=("p", 1))
+    t.append_delta(_batch(spark, [("r1", "a", None, None, None, 2, "D")]),
+                   fence=("p", 2))
+    assert t.read().count() == 0
+    assert t.is_epoch_committed("p", 2)
+
+    new_head = t.rollback(v_good)
+    assert commitlog.current_version(tmp_table) == new_head
+    assert {(r.repo, r.path, r.content) for r in t.read().collect()} == good
+    # fences reverted: the undone epochs are replayable again
+    assert t.is_epoch_committed("p", 0)
+    assert not t.is_epoch_committed("p", 1) and not t.is_epoch_committed("p", 2)
+    # history retained: the pre-rollback head is still readable
+    assert t.read_at_version(new_head - 1).count() == 0
+    # undone files reclaimed once their snapshots are expired; state intact
+    t.expire_snapshots(keep_last=1)
+    assert t.vacuum() > 0
+    assert {(r.repo, r.path, r.content) for r in t.read().collect()} == good
+
+    with pytest.raises(ValueError):
+        t.rollback(new_head + 5)
+    with pytest.raises(SnapshotExpired):
+        t.rollback(v_good + 1)  # expired above
+
+    # replay the undone epoch after rollback: applies (not skipped), and a
+    # second delivery of it is then fenced — exactly-once restored
+    t.append_delta(_batch(spark, [("r1", "a", "c1", "py", "GOOD", 1, "U")]),
+                   fence=("p", 1))
+    assert t.is_epoch_committed("p", 1)
+    assert {r.content for r in t.read().collect()} == {"GOOD"}
