@@ -1055,6 +1055,34 @@ class LakeTable:
             record["epoch_info"] = info
         self._commit(record)
 
+    def describe(self) -> dict:
+        """Operational table summary from commit metadata alone — zero
+        Spark jobs, zero file I/O beyond the (O(1)-resolved) current
+        commit record. The DESCRIBE TABLE EXTENDED / metadata-tables
+        analogue a cluster operator checks before deciding on compaction,
+        retention, or rebucketing."""
+        rec = self._current()
+        files = rec["files"]
+        gens = {}
+        for f in files:
+            if f.get("delta"):
+                gens[f["bucket"]] = gens.get(f["bucket"], 0) + 1
+        return {
+            "version": rec["version"],
+            "schema_version": rec["schema_version"],
+            "n_buckets": rec["n_buckets"],
+            "key_cols": rec.get("key_cols", ["repo", "path"]),
+            "schema": [(f.name, f.type) for f in self.schema_fields(rec)],
+            "n_files": len(files),
+            "n_delta_files": sum(1 for f in files if f.get("delta")),
+            "max_delta_generations": max(gens.values(), default=0),
+            "files_with_key_bounds": sum(1 for f in files if f.get("rmin") is not None),
+            "files_with_key_fingerprints": sum(1 for f in files if f.get("kfp")),
+            "earliest_retained_version": commitlog.earliest_version(self.table_dir),
+            "fences": dict(rec.get("fences", {})),
+            "props": dict(rec.get("props", {})),
+        }
+
     def bucket_file_counts(self) -> dict[int, int]:
         """files per bucket (driver-side, from the commit record — no job)."""
         counts: dict[int, int] = {}

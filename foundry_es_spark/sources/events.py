@@ -57,29 +57,74 @@ def read_events_stream(
     )
 
 
+# The schema Spark's Kafka source emits — what decode_kafka_events consumes.
+# Kept as DDL so tests can build a batch frame of exactly this shape without
+# the kafka jar.
+KAFKA_RAW_DDL = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp, timestampType int"
+)
+
+
+def kafka_stream_spec(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = True,
+) -> dict:
+    """The exact readStream configuration the cluster run issues — split
+    out so it is golden-testable without the spark-sql-kafka jar (same
+    plan-mode idea as lake/iceberg.py). `max_offsets_per_trigger` is the
+    ingestion rate limiter: it bounds each micro-batch so one backlogged
+    topic can't produce an epoch larger than the executors' memory budget
+    (the streaming-side analogue of the replay CLI's epoch sizing)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(bool(fail_on_data_loss)).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(int(max_offsets_per_trigger))
+    return {"format": "kafka", "options": opts}
+
+
+def decode_kafka_events(raw: DataFrame) -> DataFrame:
+    """Kafka envelope → event rows: pure column logic on the KAFKA_RAW_DDL
+    shape, so it is unit-tested on a batch frame without the jar and
+    behaves identically under readStream. A value that fails JSON parsing
+    yields an all-null event with its source (topic/partition/offset)
+    retained — the downstream dead-letter predicate (S7) quarantines it
+    with enough provenance to replay the single record."""
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), EVENT_SCHEMA).alias("e"),
+        F.col("topic"),
+        F.col("partition").cast("long").alias("part"),
+        F.col("offset"),
+    )
+    return parsed.select("e.*", "topic", "part", "offset")
+
+
 def read_events_kafka(
     spark: SparkSession,
     bootstrap_servers: str,
     topic: str,
     starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """S1 cluster path: Kafka → JSON-decoded event envelope. Requires the
     spark-sql-kafka jar on the classpath (absent locally — BASELINE.md);
-    the call raises a clear error instead of failing deep inside Spark."""
+    the call raises a clear error instead of failing deep inside Spark.
+    Configuration and decode are factored into :func:`kafka_stream_spec`
+    and :func:`decode_kafka_events`, both covered by jar-free tests."""
+    spec = kafka_stream_spec(
+        bootstrap_servers, topic, starting_offsets, max_offsets_per_trigger
+    )
     try:
-        reader = (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap_servers)
-            .option("subscribe", topic)
-            .option("startingOffsets", starting_offsets)
-        )
-        raw = reader.load()
+        raw = spark.readStream.format(spec["format"]).options(**spec["options"]).load()
     except Exception as exc:  # pragma: no cover - jar absent in sandbox
         raise RuntimeError(
             "Kafka source requires spark-sql-kafka-0-10 on the classpath"
         ) from exc
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), EVENT_SCHEMA).alias("e"),
-        F.col("partition").cast("long").alias("part"),
-    )
-    return parsed.select("e.*", "part")
+    return decode_kafka_events(raw)

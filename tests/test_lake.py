@@ -654,3 +654,26 @@ def test_rollback_restores_state_fences_and_reclaims(spark, tmp_table):
                    fence=("p", 1))
     assert t.is_epoch_committed("p", 1)
     assert {r.content for r in t.read().collect()} == {"GOOD"}
+
+
+def test_describe_is_metadata_only(spark, tmp_table):
+    """describe() summarizes the table from the commit record alone — no
+    Spark job — and tracks files/generations/stats/fences/retention."""
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=2)
+    t.merge_upsert(_batch(spark, [("r1", "a", "c0", "py", "v0", 0, "I")]),
+                   fence=("p", 0))
+    t.append_delta(_batch(spark, [("r1", "a", "c1", "py", "v1", 1, "U")]),
+                   fence=("p", 1))
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    d = t.describe()
+    assert len(tracker.getJobIdsForGroup(None) or []) == before, "ran a job"
+
+    assert d["version"] == 2 and d["n_buckets"] == 2
+    assert d["n_delta_files"] == 1 and d["max_delta_generations"] == 1
+    assert d["n_files"] == 2
+    assert d["files_with_key_bounds"] == 2
+    assert d["files_with_key_fingerprints"] == 2
+    assert d["fences"] and d["earliest_retained_version"] == 0
+    assert ("repo", "string") in d["schema"]

@@ -146,3 +146,50 @@ def test_s4_csv_json_xml_sources(spark, tmp_path):
     expect = [("r1", "a.py", "python"), ("r2", "b.c", "c")]
     for rows in (csv, js, xml):
         assert [(r["repo"], r["path"], r["lang"]) for r in rows] == expect
+
+
+def test_kafka_spec_golden_and_decode_without_jar(spark):
+    """S1 Kafka path, jar-free coverage (the VERDICT r2 'untestable'
+    residue, narrowed): the readStream configuration is pinned as a golden
+    spec, and the envelope decode is exercised on a batch frame of exactly
+    the shape Spark's Kafka source emits (KAFKA_RAW_DDL) — valid JSON
+    round-trips, malformed JSON yields an all-null event that KEEPS its
+    topic/partition/offset provenance for the dead-letter sink."""
+    import json
+
+    from foundry_es_spark.sources.events import (
+        KAFKA_RAW_DDL,
+        decode_kafka_events,
+        kafka_stream_spec,
+    )
+
+    assert kafka_stream_spec("k1:9092,k2:9092", "changes",
+                             max_offsets_per_trigger=2_000_000) == {
+        "format": "kafka",
+        "options": {
+            "kafka.bootstrap.servers": "k1:9092,k2:9092",
+            "subscribe": "changes",
+            "startingOffsets": "earliest",
+            "failOnDataLoss": "true",
+            "maxOffsetsPerTrigger": "2000000",
+        },
+    }
+
+    good = json.dumps({"seq": 7, "ts": "2024-01-01T00:00:00", "op": "U",
+                       "repo": "r1", "path": "a", "commit": "c1",
+                       "lang": "py", "content": "hello"})
+    raw = spark.createDataFrame(
+        [
+            (None, good.encode(), "changes", 3, 42, None, 0),
+            (None, b"{not json", "changes", 5, 43, None, 0),
+        ],
+        KAFKA_RAW_DDL,
+    )
+    rows = {r["offset"]: r for r in decode_kafka_events(raw).collect()}
+    ok = rows[42]
+    assert (ok["seq"], ok["op"], ok["repo"], ok["path"], ok["content"]) == \
+        (7, "U", "r1", "a", "hello")
+    assert (ok["topic"], ok["part"]) == ("changes", 3)
+    bad = rows[43]
+    assert bad["repo"] is None and bad["seq"] is None
+    assert (bad["topic"], bad["part"], bad["offset"]) == ("changes", 5, 43)
