@@ -117,7 +117,10 @@ def test_golden_digest_fixed_corpus(spark, tmp_path):
 
 # ------------------------------------------------------- lifecycle chaos
 
-ACTIONS = ["compact", "expire", "vacuum", "redeliver", "resume", "derived", "none"]
+ACTIONS = [
+    "compact", "expire", "vacuum", "redeliver", "resume", "derived",
+    "rollback", "none",
+]
 
 
 @st.composite
@@ -139,8 +142,9 @@ def chaos_logs(draw):
 def test_lifecycle_chaos_matches_fold_oracle(spark, tmp_path_factory, log):
     """Arbitrary interleavings of epochs with maintenance — compaction,
     snapshot expiry, retained vacuum, duplicate delivery, process resume,
-    derived refreshes — must never change WHAT the table (or its derived
-    rollup) says, only how it is stored."""
+    derived refreshes, and rollback-then-replay recovery — must never
+    change WHAT the table (or its derived rollup) says, only how it is
+    stored."""
     from foundry_es_spark.plans import DerivedConfig, DerivedTablePipeline
 
     evs, n_epochs, actions = log
@@ -185,14 +189,23 @@ def test_lifecycle_chaos_matches_fold_oracle(spark, tmp_path_factory, log):
         DerivedConfig(name="chaos", derived_dir=f"{tmp}/d", n_buckets=4),
         [F.count("*").alias("n_paths")],
     )
+    from foundry_es_spark.lake import log as commitlog
+
     per_epoch = max(1, (len(rows) + n_epochs - 1) // n_epochs)
     for e in range(n_epochs):
         chunk = sdf.where(
             (F.col("seq") >= e * per_epoch) & (F.col("seq") < (e + 1) * per_epoch)
         )
+        v_before = commitlog.current_version(f"{tmp}/t")
         pipe.apply_epoch(chunk, e)
         act = actions[e]
-        if act == "compact":
+        if act == "rollback" and v_before is not None:
+            # undo this epoch (and any auto-compaction it triggered), then
+            # re-apply it: fences reverted => NOT skipped, and the final
+            # state must still match the oracle exactly
+            pipe.table.rollback(v_before)
+            assert pipe.apply_epoch(chunk, e)["skipped"] is False
+        elif act == "compact":
             pipe.table.compact(files_per_bucket=1)
         elif act == "expire":
             pipe.table.expire_snapshots(keep_last=2)
