@@ -207,12 +207,16 @@ def text_tfidf_topk(spark, sf, k: int = 3, min_len: int = 3):
     FP column, same ln() on both sides).
 
     Plan: tokenize = lower + regex split + explode (generate, no
-    shuffle); tf = one aggregate on (doc_id, term); df = one aggregate on
-    term REUSING tf's output (no second pass over text); the doc count is
-    a 1-row aggregate broadcast-cross-joined in — NOT a driver-side
-    .count() job per invocation (the VERDICT r2 ann_lsh nit). The rank
-    window partitions by doc_id — a prefix of tf's grouping key, so no
-    extra Exchange before it.
+    shuffle), then the text is scanned EXACTLY ONCE: df is a count()
+    window over tf partitioned by term, not a groupBy-and-join-back —
+    the join formulation re-executes the whole tokenize→tf subtree for
+    the df branch (Catalyst prunes the branch differently, so the
+    exchanges don't dedupe to a ReusedExchange; plan-inspected). Three
+    exchanges of the small distinct-(doc,term) frame replace a second
+    pass over the raw text — the right trade at corpus scale. The doc
+    count is a 1-row aggregate broadcast-cross-joined in — NOT a
+    driver-side .count() job per invocation (the VERDICT r2 ann_lsh
+    nit).
     """
     docs = table(spark, sf, "documents")
     nd = docs.agg(F.count("*").cast("double").alias("n_docs"))
@@ -221,11 +225,10 @@ def text_tfidf_topk(spark, sf, k: int = 3, min_len: int = 3):
         F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
     ).where(F.length("term") >= min_len)
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.withColumn("df", F.count("*").over(W.partitionBy("term")))
     w = W.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("term"))
     return (
-        tf.join(df_, "term")
-        .crossJoin(F.broadcast(nd))
+        scored.crossJoin(F.broadcast(nd))
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= k)
         .select(

@@ -92,6 +92,11 @@ def test_tfidf_rank_is_integer_exact_and_no_count_job(spark):
     df = text_tfidf_topk(spark, SF)
     assert jobs() - j1 <= scan_jobs, "plan build ran a job beyond scan setup"
 
+    # the text is tokenized EXACTLY once: df is a window over tf, not a
+    # join-back that re-executes the explode subtree (plan-inspected)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1, plan
+
     a = sorted((r["doc_id"], r["term"], r["rnk"]) for r in df.collect())
     b = sorted(
         (r["doc_id"], r["term"], r["rnk"])
