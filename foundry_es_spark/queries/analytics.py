@@ -94,42 +94,53 @@ def q35_funnel_stages(spark, sf):
     first purchase AFTER that click. Returns one row per stage with the
     user count that reached it.
 
-    Plan: stage 1 is a conditional min inside one hash aggregate; each
-    later stage is an equi-join back to events on user_id followed by the
-    same aggregate. At scale both sides of each join are partitioned by
-    user_id (the per-user stage table arrives pre-shuffled from its own
-    aggregation), so the joins are co-partitioned exchanges of the SMALL
-    per-user table, never a re-shuffle of raw events more than once.
+    Plan: ONE scan, ONE exchange. The naive formulation (stage-1
+    aggregate, then an equi-join back to events per later stage)
+    re-scans the event table once per stage; instead, running
+    conditional minima over a per-user event-time window compute every
+    stage in a single pass: at any row, "the earliest valid click so
+    far" is a monotone running min, and a purchase qualifies against the
+    GLOBAL earliest valid click iff it qualifies against the running one
+    (a valid click after the purchase can't be earlier than one before
+    it). The two windows and the final per-user aggregate all share the
+    user_id partitioning, so EnsureRequirements inserts one exchange
+    total; the three stage counts fold in one tiny global aggregate.
     Timestamps compare exactly — no FP in the contract.
     """
-    ev = table(spark, sf, "events").select("user_id", "event_type", "ts")
-    s1 = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1")
-    ).where(F.col("t1").isNotNull())
-    s2 = (
-        ev.join(s1, "user_id")
-        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    ev = table(spark, sf, "events").select("user_id", "event_type", "ts", "event_id")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
     )
-    s3 = (
-        ev.join(s2, "user_id")
-        .where((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+    run_t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    staged = ev.withColumn(
+        "click_ts",
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > run_t1), F.col("ts")
+        ),
     )
-    def one(df, stage, n):
-        return df.agg(F.count("*").alias("n_users")).select(
-            F.lit(stage).alias("stage"),
-            F.lit(n).cast("bigint").alias("stage_no"),
-            "n_users",
-        )
-
-    return (
-        one(s1, "signup", 1)
-        .unionByName(one(s2, "click_after_signup", 2))
-        .unionByName(one(s3, "purchase_after_click", 3))
+    run_t2 = F.min("click_ts").over(w)
+    staged = staged.withColumn(
+        "purchase_ts",
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > run_t2), F.col("ts")
+        ),
     )
+    per_user = staged.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1"),
+        F.min("click_ts").alias("t2"),
+        F.min("purchase_ts").alias("t3"),
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("n1"), F.count("t2").alias("n2"), F.count("t3").alias("n3")
+    )
+    stage = F.array(
+        F.struct(F.lit("signup").alias("stage"), F.lit(1).cast("bigint").alias("stage_no"), F.col("n1").alias("n_users")),
+        F.struct(F.lit("click_after_signup").alias("stage"), F.lit(2).cast("bigint").alias("stage_no"), F.col("n2").alias("n_users")),
+        F.struct(F.lit("purchase_after_click").alias("stage"), F.lit(3).cast("bigint").alias("stage_no"), F.col("n3").alias("n_users")),
+    )
+    return counts.select(F.explode(stage).alias("s")).select("s.*")
 
 
 Q35_SQL = """
@@ -162,25 +173,23 @@ def q36_retention_cohorts(spark, sf):
     first event; for each (cohort_week, week_offset) the count of distinct
     users active that week. THE activation/retention matrix.
 
-    Plan: the first-seen table is one aggregate on user_id; the join back
-    to events is co-partitioned with it (see q35); the final distinct
-    count is a two-key aggregate. date_trunc('week') is Monday-anchored
-    in both Spark and DuckDB; the offset is integer day arithmetic.
+    Plan: ONE scan. The cohort week is an unbounded min() window over the
+    user partition (not a groupBy-and-join-back, which scans events
+    twice); the only other exchange is the final two-key distinct-count
+    aggregate. date_trunc('week') is Monday-anchored in both Spark and
+    DuckDB; the offset is integer day arithmetic.
     """
     ev = table(spark, sf, "events").select(
         "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
     )
-    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    cohort = F.min("wk").over(W.partitionBy("user_id"))
     return (
-        ev.join(first, "user_id")
-        .select(
-            "user_id", "cohort_week",
-            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7).cast("bigint").alias("week_offset"),
+        ev.select(
+            "user_id",
+            F.date_format(cohort, "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("wk"), cohort) / 7).cast("bigint").alias("week_offset"),
         )
-        .groupBy(
-            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
-            "week_offset",
-        )
+        .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
 
@@ -356,20 +365,24 @@ def q37_date_spine(spark, sf):
     feeds charting/forecasting (a LEFT JOIN against a generated calendar,
     the standard dbt "date spine").
 
-    Plan: the spine is generated, not stored — a 1-row min/max aggregate
-    explodes into the day sequence (tiny), broadcast-crossed with the
-    distinct-user table; the activity side is one (user, day) aggregate of
-    events. The only full-table work is that aggregate; the left join's
-    build side (days) is broadcast so the spine never shuffles."""
+    Plan: one full (user_id, ts) pass for the activity aggregate plus two
+    SINGLE-COLUMN passes — Catalyst prunes each auxiliary branch to just
+    its column (ReadSchema shows ts-only and user_id-only scans; branch
+    pruning also prevents the three subtrees deduping to one
+    ReusedExchange, so forcing "one scan" would need a cache — worse at
+    scale than two cheap columnar passes). The spine is generated, not
+    stored: a 1-row min/max explodes into the day sequence,
+    broadcast-crossed with the users, so the spine side of the left join
+    never shuffles."""
     ev = table(spark, sf, "events").select(
         "user_id", F.to_date(F.col("ts")).alias("d")
     )
+    acts = ev.groupBy("user_id", "d").agg(F.count("*").alias("n"))
     days = (
-        ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        acts.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
         .select(F.explode(F.sequence("lo", "hi")).alias("d"))
     )
-    spine = ev.select("user_id").distinct().crossJoin(F.broadcast(days))
-    acts = ev.groupBy("user_id", "d").agg(F.count("*").alias("n"))
+    spine = acts.select("user_id").distinct().crossJoin(F.broadcast(days))
     return (
         spine.join(acts, ["user_id", "d"], "left")
         .select(
