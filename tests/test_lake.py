@@ -677,3 +677,50 @@ def test_describe_is_metadata_only(spark, tmp_table):
     assert d["files_with_key_fingerprints"] == 2
     assert d["fences"] and d["earliest_retained_version"] == 0
     assert ("repo", "string") in d["schema"]
+
+
+def test_rollback_across_rebucket_and_schema_evolution(spark, tmp_table):
+    """Rollback restores the ENTIRE commit record, so it must compose with
+    partition-spec evolution (n_buckets reverts, reads and selective reads
+    use the restored layout) and with schema evolution (the schema
+    registry reverts; columns added after the rollback mint field ids that
+    can collide with rolled-back ones — safe because projection is per
+    referenced file, and the undone files are unreferenced)."""
+    from foundry_es_spark.lake import log as commitlog
+
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=2)
+    t.merge_upsert(_batch(spark, [(f"r{i}", "p", "c0", "py", f"v{i}", i, "I")
+                                  for i in range(8)]))
+    v_pre = commitlog.current_version(tmp_table)
+    pre = {(r.repo, r.content) for r in t.read().collect()}
+
+    t.rebucket(4)
+    t.add_column("n_stars", "int")
+    b = spark.createDataFrame(
+        [("r9", "p", "c1", "py", "v9", 7, 100, "U")],
+        "repo string, path string, commit string, lang string, content string, "
+        "n_stars int, _seq long, _op string",
+    )
+    t.merge_upsert(b)
+    assert t._current()["n_buckets"] == 4
+    assert t.read().count() == 9
+
+    t.rollback(v_pre)
+    rec = t._current()
+    assert rec["n_buckets"] == 2
+    assert "n_stars" not in [f.name for f in t.schema_fields(rec)]
+    assert {(r.repo, r.content) for r in t.read().collect()} == pre
+    # selective read uses the RESTORED bucket layout
+    assert {r.content for r in t.read(repos=["r3"]).collect()} == {"v3"}
+    # new evolution after the rollback works and old values never resurrect
+    t.add_column("license", "string")
+    assert t.read().where(F.col("license").isNotNull()).count() == 0
+    b2 = spark.createDataFrame(
+        [("r0", "p", "c2", "py", "w0", 50, "mit", "U")],
+        "repo string, path string, commit string, lang string, content string, "
+        "_seq long, license string, _op string",
+    )
+    t.merge_upsert(b2)
+    rows = {r.repo: r for r in t.read().collect()}
+    assert rows["r0"].license == "mit" and rows["r0"].content == "w0"
+    assert rows["r3"].license is None
