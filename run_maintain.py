@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Table-maintenance entrypoint (the cron/Airflow job a deployment runs
+beside the ingest pipeline — the local twin of Iceberg's maintenance
+procedures, see lake/iceberg.py expire/vacuum/rewrite golden SQL):
+
+    spark-submit --py-files engine.zip run_maintain.py \
+        --table-dir /lake/repos \
+        --compact-threshold 4 --files-per-bucket 1 \
+        --keep-snapshots 5
+
+Order matters and is fixed: (1) compact buckets whose delta-generation
+count crossed the threshold (read-amplification bound), (2) expire commit
+records beyond the retention window (commit-log size bound), (3) vacuum
+data files no retained snapshot references (storage bound). Each step is
+independently idempotent, so a crashed or retried run just resumes.
+Prints one JSON line: the describe() summary before/after plus per-step
+actions — consumable by the scheduler's log scraper.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table-dir", required=True)
+    ap.add_argument("--compact-threshold", type=int, default=4,
+                    help="compact buckets with >= this many delta generations (0 = always)")
+    ap.add_argument("--files-per-bucket", type=int, default=1)
+    ap.add_argument("--keep-snapshots", type=int, default=5,
+                    help="retention: snapshots kept time-travelable; also the vacuum floor")
+    ap.add_argument("--skip-compact", action="store_true")
+    ap.add_argument("--skip-expire", action="store_true")
+    ap.add_argument("--skip-vacuum", action="store_true")
+    args = ap.parse_args()
+
+    from foundry_es_spark.lake.table import LakeTable
+    from foundry_es_spark.session import get_spark
+
+    spark = get_spark(app_name="cdc-maintain")
+    t = LakeTable(spark, args.table_dir)
+    out: dict = {"table_dir": args.table_dir, "before": t.describe()}
+
+    if not args.skip_compact:
+        gens = t.bucket_delta_generations()
+        due = sorted(b for b, g in gens.items() if g >= max(1, args.compact_threshold))
+        if due:
+            stats = t.compact_buckets(due, files_per_bucket=args.files_per_bucket)
+            out["compact"] = {"buckets": due, **stats}
+        else:
+            out["compact"] = {"buckets": []}
+
+    if not args.skip_expire:
+        out["expired_snapshots"] = t.expire_snapshots(keep_last=args.keep_snapshots)
+
+    if not args.skip_vacuum:
+        out["vacuumed_files"] = t.vacuum(keep_snapshots=args.keep_snapshots)
+
+    out["after"] = t.describe()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -724,3 +724,29 @@ def test_rollback_across_rebucket_and_schema_evolution(spark, tmp_table):
     rows = {r.repo: r for r in t.read().collect()}
     assert rows["r0"].license == "mit" and rows["r0"].content == "w0"
     assert rows["r3"].license is None
+
+
+def test_run_maintain_cli(spark, tmp_table, capsys, monkeypatch):
+    """The maintenance entrypoint compacts due buckets, expires snapshots,
+    vacuums unreferenced files — and never changes WHAT the table says."""
+    import json
+    import sys
+
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=2)
+    for i in range(4):  # 4 delta generations per touched bucket
+        t.append_delta(_batch(spark, [("r1", f"p{i}", "c0", "py", f"v{i}", i, "I")]))
+    before = {(r.repo, r.path, r.content) for r in t.read().collect()}
+
+    import run_maintain
+
+    monkeypatch.setattr(sys, "argv", [
+        "run_maintain.py", "--table-dir", tmp_table,
+        "--compact-threshold", "2", "--keep-snapshots", "1",
+    ])
+    run_maintain.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compact"]["buckets"], "generations crossed the threshold"
+    assert out["after"]["n_delta_files"] == 0
+    assert out["after"]["n_files"] < out["before"]["n_files"]
+    assert out["vacuumed_files"] > 0
+    assert {(r.repo, r.path, r.content) for r in t.read().collect()} == before
