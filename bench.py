@@ -222,9 +222,13 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     timings = {}
     for name, fn in all_queries().items():
         t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        df.count()  # full execution; collect cost excluded
-        timings[name] = round(time.monotonic() - t0, 3)
+        try:
+            df = fn(spark, sf_dir)
+            df.count()  # full execution; collect cost excluded
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # one broken query must not zero the board
+            print(f"# bench query {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
     return timings
 
 
