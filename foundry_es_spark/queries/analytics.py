@@ -1,13 +1,14 @@
 """Event analytics and corpus-curation queries (round 3 surface widening).
 
-Event side — the three analytics shapes every CDC consumer builds over an
+Event side — the analytics shapes every CDC consumer builds over an
 ingested event table: sessionization (gaps-and-islands), ordered funnels,
-and retention cohorts. Corpus side — the curation primitives a
-training-data pipeline runs between dedup and packing: salient-term
-scoring (TF-IDF), deterministic hash sampling, and token-budget source
-mixing.
+retention cohorts, date-spine densification, distribution ranks, explicit
+grouping sets. Corpus side — the curation primitives a training-data
+pipeline runs between dedup and packing: salient-term scoring (TF-IDF),
+deterministic hash sampling, token-budget source mixing, and blocked
+fuzzy matching (entity resolution).
 
-All six have exact DuckDB oracle twins. Determinism conventions match the
+All entries have exact DuckDB oracle twins. Determinism conventions match the
 rest of the surface: doubles rounded on BOTH sides, ties broken by an
 integer id, sampling keyed on md5 hex (identical string output in Spark
 and DuckDB — no engine-specific hash in the contract).
@@ -441,6 +442,84 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
 """
 
 
+def q39_fuzzy_match_blocked(spark, sf, max_dist: int = 6):
+    """Entity-resolution fuzzy join: near-identical part names found by
+    BLOCKED Levenshtein — the standard record-linkage shape. Comparing all
+    pairs is O(n²); blocking on a cheap deterministic key (the name's last
+    word — the product noun) makes it an equi-join whose per-block
+    candidate set is small, then the edit-distance filter runs only inside
+    blocks. At corpus scale the block key is the shuffle key: skewed
+    blocks get the same salting treatment as any hot join key, and the
+    a.key < b.key predicate halves the candidate pairs without a distinct.
+    Integer distances — exact oracle."""
+    p = table(spark, sf, "part").select(
+        "p_partkey", "p_name",
+        F.regexp_extract(F.col("p_name"), r"(\S+)$", 1).alias("blk"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= max_dist)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("bigint")
+            .alias("dist"),
+        )
+    )
+
+
+Q39_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_name, regexp_extract(p_name, '(\\S+)$', 1) AS blk
+  FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM p a JOIN p b
+  ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 6
+"""
+
+
+def q40_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS — the third grouping-analytics shape beside
+    rollup (q9) and cube (q30): two independent one-dimensional summaries
+    plus the grand total in ONE pass over orders (one shuffle feeding all
+    three sets, vs three separate scans+aggregates if issued naively).
+    grouping() flags disambiguate set-membership from genuine NULL keys
+    identically in both engines."""
+    table(spark, sf, "orders").createOrReplaceTempView("q40_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS grp_p,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS grp_s,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM q40_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+Q40_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS grp_p,
+       CAST(grouping(o_orderstatus) AS BIGINT) AS grp_s,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
 QUERIES = {
     "q34_sessionize_batch": q34_sessionize_batch,
     "q35_funnel_stages": q35_funnel_stages,
@@ -450,6 +529,8 @@ QUERIES = {
     "corpus_mix_budget": corpus_mix_budget,
     "q37_date_spine": q37_date_spine,
     "q38_distribution_ranks": q38_distribution_ranks,
+    "q39_fuzzy_match_blocked": q39_fuzzy_match_blocked,
+    "q40_grouping_sets": q40_grouping_sets,
 }
 
 ORACLES = {
@@ -461,4 +542,6 @@ ORACLES = {
     "corpus_mix_budget": MIX_SQL,
     "q37_date_spine": Q37_SQL,
     "q38_distribution_ranks": Q38_SQL,
+    "q39_fuzzy_match_blocked": Q39_SQL,
+    "q40_grouping_sets": Q40_SQL,
 }
