@@ -67,11 +67,12 @@ def _fields_to_struct(fields: list[LakeField], with_sys: bool = True) -> T.Struc
     return T.StructType(out)
 
 
-def _footer_key_bounds(path: str, key_col: str) -> tuple[str, str] | None:
-    """File-level [min,max] of a string key column from the parquet footer
-    (driver-side, one footer read — the Iceberg manifest column-bounds
-    analogue, recorded at write so selective reads can prune whole FILES
-    before any task is scheduled). None when stats are unusable."""
+def _footer_key_bounds(path: str, key_col: str) -> tuple[str, str, int] | None:
+    """File-level [min,max] of a string key column plus the file's row
+    count, all from one parquet footer read (driver-side — the Iceberg
+    manifest column-bounds analogue, recorded at write so selective reads
+    can prune whole FILES before any task is scheduled, and so describe()
+    can report row counts without a job). None when stats are unusable."""
     try:
         import pyarrow.parquet as pq
 
@@ -86,7 +87,7 @@ def _footer_key_bounds(path: str, key_col: str) -> tuple[str, str] | None:
                 return None
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        return None if lo is None else (lo, hi)
+        return None if lo is None else (lo, hi, int(meta.num_rows))
     except Exception:
         return None
 
@@ -898,7 +899,7 @@ class LakeTable:
                     fpath = os.path.join(out_dir, bdir, fn)
                     bounds = _footer_key_bounds(fpath, key_cols[0])
                     if bounds is not None:
-                        entry["rmin"], entry["rmax"] = bounds
+                        entry["rmin"], entry["rmax"], entry["rows"] = bounds
                     kfp = _file_key_fingerprints(fpath, key_cols[0])
                     if kfp is not None:
                         entry["kfp"] = kfp
@@ -1023,6 +1024,7 @@ class LakeTable:
                 **({"rmin": f["rmin"], "rmax": f["rmax"]}
                    if f.get("rmin") is not None else {}),
                 **({"kfp": f["kfp"]} if f.get("kfp") is not None else {}),
+                **({"rows": int(f["rows"])} if f.get("rows") is not None else {}),
             }
             for f in files
         ]
@@ -1078,6 +1080,14 @@ class LakeTable:
             "max_delta_generations": max(gens.values(), default=0),
             "files_with_key_bounds": sum(1 for f in files if f.get("rmin") is not None),
             "files_with_key_fingerprints": sum(1 for f in files if f.get("kfp")),
+            # physical rows incl. tombstones/superseded deltas (live row
+            # count needs the MoR merge — a job); None if any file predates
+            # row-count recording
+            "physical_rows": (
+                sum(f["rows"] for f in files)
+                if files and all(f.get("rows") is not None for f in files)
+                else None
+            ),
             "earliest_retained_version": commitlog.earliest_version(self.table_dir),
             "fences": dict(rec.get("fences", {})),
             "props": dict(rec.get("props", {})),
@@ -1134,6 +1144,7 @@ class LakeTable:
                 **({"rmin": r["rmin"], "rmax": r["rmax"]}
                    if r["rmin"] is not None else {}),
                 **({"kfp": r["kfp"]} if r["kfp"] is not None else {}),
+                "rows": int(r["rows"]),
             }
             for r in meta.collect()
         ]

@@ -669,7 +669,7 @@ class CdcPipeline:
         merge_stats = table.commit_delta_files(
             version,
             [
-                {"path": r["path"], "bucket": r["bucket"],
+                {"path": r["path"], "bucket": r["bucket"], "rows": r["rows"],
                  "rmin": r["rmin"], "rmax": r["rmax"], "kfp": r["kfp"]}
                 for r in file_rows
             ],

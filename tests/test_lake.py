@@ -675,6 +675,7 @@ def test_describe_is_metadata_only(spark, tmp_table):
     assert d["n_files"] == 2
     assert d["files_with_key_bounds"] == 2
     assert d["files_with_key_fingerprints"] == 2
+    assert d["physical_rows"] == 2  # incl. superseded/tombstone rows
     assert d["fences"] and d["earliest_retained_version"] == 0
     assert ("repo", "string") in d["schema"]
 
