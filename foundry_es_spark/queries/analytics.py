@@ -442,51 +442,69 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
 """
 
 
-def q39_fuzzy_match_blocked(spark, sf, max_dist: int = 6):
+def q39_fuzzy_match_blocked(spark, sf, max_dist: int = 2):
     """Entity-resolution fuzzy join: near-identical part names found by
     BLOCKED Levenshtein — the standard record-linkage shape. Comparing all
-    pairs is O(n²); blocking on a cheap deterministic key (the name's last
-    word — the product noun) makes it an equi-join whose per-block
-    candidate set is small, then the edit-distance filter runs only inside
-    blocks. At corpus scale the block key is the shuffle key: skewed
-    blocks get the same salting treatment as any hot join key, and the
-    a.key < b.key predicate halves the candidate pairs without a distinct.
-    Integer distances — exact oracle."""
+    pairs is O(n²); the blocking key makes it an equi-join whose per-block
+    candidate set is small. The key is COMPOSITE — the name's last word
+    (the product noun) AND the structured brand attribute — because a
+    text-only key has vocabulary-bounded cardinality: with ~8 nouns over
+    20k parts a noun-only block is ~2.5k rows → ~25M candidate pairs
+    (measured 30 s at sf0.1); adding brand multiplies cardinality and cuts
+    candidates ~25×. Multi-attribute blocking is exactly how production ER
+    pipelines keep candidate generation linear. Spark-side, the distance
+    uses the threshold form — levenshtein(a, b, t) early-exits above t and
+    returns -1, so non-matches cost O(t·len) not O(len²) — and is computed
+    once, pre-projection. max_dist=2 targets typo-level variants; the
+    synthetic names repeat heavily inside blocks, so looser thresholds
+    return quadratically many pairs (dist<=6 ~ 1M rows at sf0.1). Skewed blocks salt like any hot join key; the
+    a.key < b.key predicate halves candidates without a distinct. Integer
+    distances — exact oracle."""
     p = table(spark, sf, "part").select(
         "p_partkey", "p_name",
-        F.regexp_extract(F.col("p_name"), r"(\S+)$", 1).alias("blk"),
+        F.regexp_extract(F.col("p_name"), r"(\S+)$", 1).alias("noun"),
+        F.col("p_brand").alias("brand"),
+    )
+    # Explicit partition count: the block table is tiny in BYTES, so AQE
+    # coalesces the ENSURE_REQUIREMENTS exchange to one task and the whole
+    # quadratic in-block compare serializes (measured 7.0 -> 3.5 s at
+    # sf0.1) — the same trap as the compaction exchange (operators/cdc).
+    p = p.repartition(
+        max(2, spark.sparkContext.defaultParallelism), "noun", "brand"
     )
     a, b = p.alias("a"), p.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.blk") == F.col("b.blk"))
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.brand") == F.col("b.brand"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey")),
         )
-        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= max_dist)
         .select(
             F.col("a.p_partkey").alias("key_a"),
             F.col("b.p_partkey").alias("key_b"),
             F.col("a.p_name").alias("name_a"),
             F.col("b.p_name").alias("name_b"),
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), max_dist)
             .cast("bigint")
             .alias("dist"),
         )
+        .where(F.col("dist") >= 0)  # threshold form returns -1 above max_dist
     )
 
 
 Q39_SQL = """
 WITH p AS (
-  SELECT p_partkey, p_name, regexp_extract(p_name, '(\\S+)$', 1) AS blk
+  SELECT p_partkey, p_name, p_brand AS brand,
+         regexp_extract(p_name, '(\\S+)$', 1) AS noun
   FROM part
 )
 SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
        a.p_name AS name_a, b.p_name AS name_b,
        CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
 FROM p a JOIN p b
-  ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-WHERE levenshtein(a.p_name, b.p_name) <= 6
+  ON a.noun = b.noun AND a.brand = b.brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
