@@ -1,5 +1,9 @@
 """Pipeline assembly — the epoch body and batch replay (SURVEY.md §3.2)."""
 
+from foundry_es_spark.plans.dedup_maintain import (
+    DedupMaintainConfig,
+    IncrementalDedupPipeline,
+)
 from foundry_es_spark.plans.derived import DerivedConfig, DerivedTablePipeline
 from foundry_es_spark.plans.routed import Route, RoutedPipeline
 from foundry_es_spark.plans.pipeline import (
@@ -18,4 +22,6 @@ __all__ = [
     "offsets_from_footers",
     "DerivedConfig",
     "DerivedTablePipeline",
+    "DedupMaintainConfig",
+    "IncrementalDedupPipeline",
 ]

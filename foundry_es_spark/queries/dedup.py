@@ -89,13 +89,60 @@ def _minhash_signature(hashed):
     """16-lane minhash over PRE-HASHED shingles (array<long>): per-lane
     re-hash of the long — 8-byte input, far cheaper than hashing the
     shingle string 16 times. Callers materialize the base hash array in
-    its own projection so it is computed exactly once."""
-    return F.array(
-        *[
-            F.array_min(F.transform(hashed, lambda h, i=i: F.xxhash64(h, F.lit(i))))
-            for i in range(N_HASHES)
-        ]
+    its own projection so it is computed exactly once.
+
+    The lane binding must be a SINGLE-parameter lambda: PySpark's
+    ``transform`` dispatches on the lambda's arity, and a two-parameter
+    lambda (``lambda h, i=i: ...``) is called as (element, array_index) —
+    the index silently overrides the captured lane number, collapsing all
+    16 lanes to the same ``min_j xxhash64(h_j, j)`` value (found when the
+    incremental maintainer's band-agreement counts came out all-or-nothing;
+    regression-pinned by test_determinism's lane-independence test)."""
+
+    def _lane(i):
+        return F.array_min(F.transform(hashed, lambda h: F.xxhash64(h, F.lit(i))))
+
+    return F.array(*[_lane(i) for i in range(N_HASHES)])
+
+
+def add_minhash_bands(df, text_col: str = "text", out_col: str = "bhs"):
+    """Append ``out_col`` = array<long> of the N_BANDS LSH band hashes for
+    ``text_col`` — the reusable signature kernel shared by the batch LSH
+    query below and the incremental maintainer
+    (plans/dedup_maintain.py). Both paths MUST hash identically: the
+    maintainer's core invariant (incremental pair set == batch pair set
+    over the final corpus) holds only because the signatures are
+    bit-identical functions of the text.
+
+    Staged ``select`` projections keep split → shingle → hash → minhash
+    each evaluated once per row (see the `_word_shingles` note: inlining
+    the split into the shingle lambda re-splits the text per shingle)."""
+    rows_per_band = N_HASHES // N_BANDS
+    keep = list(df.columns)
+    out = df.select(*keep, F.split(F.lower(F.col(text_col)), r"\s+").alias("_w"))
+    out = out.select(*keep, F.array_distinct(_word_shingles("_w")).alias("_sh"))
+    out = out.select(
+        *keep, F.transform(F.col("_sh"), lambda x: F.xxhash64(x)).alias("_hsh")
     )
+    out = out.select(*keep, _minhash_signature(F.col("_hsh")).alias("_sig"))
+
+    def _band_hash(b):
+        return F.xxhash64(
+            *[F.element_at("_sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        )
+
+    return out.select(
+        *keep, F.array(*[_band_hash(b) for b in range(N_BANDS)]).alias(out_col)
+    )
+
+
+def add_shingle_set(df, text_col: str = "text", out_col: str = "sh"):
+    """Append ``out_col`` = distinct 3-word shingle set for ``text_col``
+    (the exact-Jaccard verification input, same shingling as the
+    signatures above)."""
+    keep = list(df.columns)
+    out = df.select(*keep, F.split(F.lower(F.col(text_col)), r"\s+").alias("_w"))
+    return out.select(*keep, F.array_distinct(_word_shingles("_w")).alias(out_col))
 
 
 def dedup_minhash_lsh(spark, sf, jaccard_threshold: float = 0.5):

@@ -159,6 +159,26 @@ def test_ivf_kmeans_training_objective_and_balance(spark):
     assert a == b and len(a) > 0
 
 
+def test_minhash_lanes_are_independent(spark):
+    """Regression: the 16 minhash lanes must be DIFFERENT hash functions.
+    A two-parameter lambda in the lane transform made PySpark pass the
+    array index as the lane number, collapsing every lane to the same
+    ``min_j xxhash64(h_j, j)`` — the signature was one lane repeated 16×
+    and LSH banding degenerated to a single band (round-3 find). With
+    independent lanes, a random hash set must produce many distinct lane
+    minima, and a 1-element set difference must flip SOME but not ALL
+    lanes across a large corpus of variants."""
+    from pyspark.sql import functions as F
+
+    import foundry_es_spark.queries.dedup as D
+
+    df = spark.range(1).select(
+        F.array(*[F.xxhash64(F.lit(f"shingle-{k}")) for k in range(40)]).alias("hsh")
+    )
+    sig = df.select(D._minhash_signature(F.col("hsh")).alias("sig")).collect()[0].sig
+    assert len(set(sig)) > D.N_HASHES // 2, sig  # was: len(set(sig)) == 1
+
+
 def test_minhash_first_band_equals_distinct_pairs(spark):
     """The first-agreeing-band filter (a recomputable predicate, no
     exchange) must keep EXACTLY the pair set a dropDuplicates over the
