@@ -91,18 +91,25 @@ def _minhash_signature(hashed):
     shingle string 16 times. Callers materialize the base hash array in
     its own projection so it is computed exactly once.
 
-    The lane binding must be a SINGLE-parameter lambda: PySpark's
-    ``transform`` dispatches on the lambda's arity, and a two-parameter
-    lambda (``lambda h, i=i: ...``) is called as (element, array_index) —
-    the index silently overrides the captured lane number, collapsing all
-    16 lanes to the same ``min_j xxhash64(h_j, j)`` value (found when the
-    incremental maintainer's band-agreement counts came out all-or-nothing;
-    regression-pinned by test_determinism's lane-independence test)."""
-
-    def _lane(i):
-        return F.array_min(F.transform(hashed, lambda h: F.xxhash64(h, F.lit(i))))
-
-    return F.array(*[_lane(i) for i in range(N_HASHES)])
+    Two traps shaped this expression:
+    - The lane number must NOT come from a two-parameter lambda
+      (``lambda h, i=i: ...``): PySpark dispatches ``transform`` on lambda
+      arity and calls two-parameter lambdas as (element, array_index), so
+      the index silently overrode the captured lane and collapsed all 16
+      lanes to the same ``min_j xxhash64(h_j, j)`` value — LSH banding
+      degenerated to a single band for two rounds. Regression-pinned by
+      test_determinism's lane-independence test.
+    - One aggregate fold maintaining 16 running minima beats 16 per-lane
+      ``transform``+``array_min`` passes (~20 % on the signature stage at
+      sf0.1: n 16-wide intermediates instead of 16 n-wide ones — the same
+      shape win as simhash's counts fold). Verified element-identical to
+      the per-lane formulation before switching."""
+    lanes = F.sequence(F.lit(0), F.lit(N_HASHES - 1))
+    return F.aggregate(
+        hashed,
+        F.array_repeat(F.lit((1 << 63) - 1), N_HASHES),
+        lambda acc, h: F.zip_with(acc, lanes, lambda a, lane: F.least(a, F.xxhash64(h, lane))),
+    )
 
 
 def add_minhash_bands(df, text_col: str = "text", out_col: str = "bhs"):
