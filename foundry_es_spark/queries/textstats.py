@@ -471,6 +471,90 @@ def text_pack_sequences(spark, sf, capacity: int = 96, window: int = 32, stride:
     )
 
 
+# ------------------------------------------------- eval decontamination
+
+
+def text_decontaminate(spark, sf, k: int = 13, eval_mod: int = 10):
+    """Train/eval decontamination by 13-gram overlap — the standard
+    pre-training hygiene pass (flag every training document sharing any
+    k-token n-gram with the held-out eval split). Eval split =
+    ``doc_id % eval_mod == 0`` (a deterministic split so the DuckDB twin
+    is exact); output = one row per CONTAMINATED training doc with the
+    distinct-gram hit count and integer-basis-point hit share.
+
+    Scale shape: the eval side is fixed-size and tiny relative to the
+    corpus (that is what an eval set IS), so its distinct gram set is
+    BROADCAST — the 100 TB training side never shuffles: tokenize →
+    gram-explode → broadcast hash join, all narrow; only the hit rows
+    (rare) reach the per-doc aggregate. Grams join on the gram STRING so
+    the oracle can replay the key exactly; at production scale swap the
+    join key for ``xxhash64(g)`` — an 8-byte long instead of a ~100-byte
+    string through the broadcast, with ~n²/2⁶⁴ collision odds. Docs
+    shorter than k tokens have no k-gram and cannot be contaminated
+    (filtered on both sides)."""
+    d = table(spark, sf, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = (
+        d.select("doc_id", w.alias("w"))
+        .where(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    # upper bound clamped to keep the expression TOTAL: the
+                    # join's inferred isnotnull(g) constraint inlines this
+                    # whole expression into the scan-level Filter (the same
+                    # trap dedup_minhash_lsh documents), where it runs on
+                    # rows the size>=k filter later drops — an unclamped
+                    # sequence(0, size-k) DESCENDS for short docs and
+                    # slice(start=0) throws. The garbage 1-gram rows this
+                    # clamp produces for short docs never survive the filter.
+                    F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice("w", i + 1, k)),
+                )
+            ).alias("gs"),
+        )
+    )
+    ev = (
+        grams.where(F.col("doc_id") % eval_mod == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    tr = grams.where(F.col("doc_id") % eval_mod != 0).select(
+        "doc_id", F.size("gs").cast("bigint").alias("n_grams"), F.explode("gs").alias("g")
+    )
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_grams",
+            F.floor((F.col("n_hits") * 10000) / F.col("n_grams")).cast("bigint").alias("hit_bp"),
+        )
+    )
+
+
+TEXT_DECONTAMINATE_SQL = r"""
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+12], ' ')
+                        FOR i IN range(1, len(w) - 12 + 1)]) AS gs
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents)
+  WHERE len(w) >= 13
+),
+ev AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 10 = 0),
+tr AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, unnest(gs) AS g
+       FROM grams WHERE doc_id % 10 <> 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, n_grams,
+       CAST(count(*) * 10000 // n_grams AS BIGINT) AS hit_bp
+FROM tr JOIN ev USING (g)
+GROUP BY doc_id, n_grams
+"""
+
+
 QUERIES = {
     "dats_nested_metadata": dats_nested_metadata,
     "text_quality_score": text_quality_score,
@@ -480,6 +564,7 @@ QUERIES = {
     "text_lang_confusion": text_lang_confusion,
     "text_gopher_filter": text_gopher_filter,
     "text_chunk_windows": text_chunk_windows,
+    "text_decontaminate": text_decontaminate,
     "text_pack_sequences": text_pack_sequences,
 }
 
@@ -497,4 +582,5 @@ ORACLES = {
     "text_lang_confusion": LANG_CONFUSION_SQL,
     "text_gopher_filter": TEXT_GOPHER_SQL,
     "text_chunk_windows": TEXT_CHUNK_SQL,
+    "text_decontaminate": TEXT_DECONTAMINATE_SQL,
 }

@@ -89,6 +89,68 @@ def simhash_recall(spark, sf: str, max_hamming: int = 3) -> dict:
     }
 
 
+def banding_curve_measured(spark, sf: str, variants_per_doc: int = 3) -> dict:
+    """Measured LSH banding recall at BORDERLINE Jaccard — the part of the
+    recall curve the real corpus can't exercise (its J >= 0.5 pairs are all
+    exact duplicates, where every band agrees trivially).
+
+    Deterministic synthetic pairs: each document gets `variants_per_doc`
+    mutants with word-replacement rates spread over (doc_id, variant)
+    (positions and rates hash-chosen, no RNG), covering J from ~0 to 1.
+    Both sides run the PRODUCTION kernels (`add_minhash_bands`,
+    `add_shingle_set` — the same expressions the batch query and the
+    incremental maintainer share), candidate = the two band-hash arrays
+    agree in ANY band (exactly the LSH join predicate on a known pair).
+    Reported: measured agree-rate per J decile vs the analytic
+    1-(1-J^r)^b curve at the decile's mean J. The measured rate should
+    track the curve — this is the regression canary that would have
+    caught the r1/r2 lane-collapse bug (whose measured curve was a single
+    J-draw, not the banding curve)."""
+    rows = table(spark, sf, "documents").select("doc_id", "text").collect()
+    recs = []
+    for r in rows:
+        words = r.text.lower().split()
+        for v in range(variants_per_doc):
+            # replacement rate in {0, 5, ..., 55}% spread by (doc_id, v)
+            m = (r.doc_id * variants_per_doc + v) % 12
+            mut = [
+                f"z{r.doc_id}x{i}"
+                if (r.doc_id * 1000003 + i * 7919 + v * 104729) % 20 < m
+                else w
+                for i, w in enumerate(words)
+            ]
+            pid = r.doc_id * variants_per_doc + v
+            recs.append((pid, 0, r.text))
+            recs.append((pid, 1, " ".join(mut)))
+    df = spark.createDataFrame(recs, "pair_id long, side int, text string")
+    sig = D.add_minhash_bands(D.add_shingle_set(df), out_col="bhs")
+    a = sig.where(F.col("side") == 0).select(
+        "pair_id", F.col("sh").alias("sa"), F.col("bhs").alias("ba")
+    )
+    b = sig.where(F.col("side") == 1).select(
+        "pair_id", F.col("sh").alias("sb"), F.col("bhs").alias("bb")
+    )
+    j = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    agree = F.exists(F.zip_with("ba", "bb", lambda x, y: x == y), lambda e: e)
+    per_pair = a.join(b, "pair_id").select(j.alias("j"), agree.cast("int").alias("hit"))
+    decile = F.least(F.floor(F.col("j") * 10), F.lit(9))
+    got = (
+        per_pair.groupBy(decile.alias("d"))
+        .agg(F.count("*").alias("n"), F.avg("hit").alias("measured"), F.avg("j").alias("mean_j"))
+        .orderBy("d")
+        .collect()
+    )
+    r_, b_ = D.N_HASHES // D.N_BANDS, D.N_BANDS
+    return {
+        f"J[{r.d/10:.1f},{(r.d+1)/10:.1f})": {
+            "n": r.n,
+            "measured": round(r.measured, 3),
+            "analytic": round(1 - (1 - r.mean_j**r_) ** b_, 3),
+        }
+        for r in got
+    }
+
+
 def _topk_sets(df) -> dict:
     out: dict = {}
     for r in df.collect():
@@ -139,11 +201,18 @@ def main() -> None:
         "ann_sf": args.ann_sf,
         "minhash_lsh": minhash_recall(spark, args.pairs_sf),
         "simhash_pairs": simhash_recall(spark, args.pairs_sf),
+        "banding_curve_measured": banding_curve_measured(spark, args.pairs_sf),
         "ann": ann_recall(spark, args.ann_sf),
     }
     print(json.dumps(res))
     m = res["minhash_lsh"]
     print(
+        "banding curve (measured vs analytic per J decile):\n  "
+        + "\n  ".join(
+            f"{k}: n={v['n']} measured={v['measured']} analytic={v['analytic']}"
+            for k, v in res["banding_curve_measured"].items()
+        )
+        + "\n"
         f"minhash: {m['found_pairs']}/{m['truth_pairs']} recall={m['recall']}\n"
         f"simhash: recall={res['simhash_pairs']['recall']} "
         f"({res['simhash_pairs']['truth_pairs']} truth pairs)\n"

@@ -95,6 +95,51 @@ def test_lang_id_plan_has_no_python_stage(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_decontaminate_plan_broadcasts_eval_side(spark):
+    """text_decontaminate's scale contract: the eval gram set is the
+    BROADCAST side and the training corpus reaches the join without an
+    exchange (tokenize -> explode -> broadcast hash join, all narrow) —
+    at 100 TB the corpus must never shuffle for this op. Also pins the
+    semantic contract on a hand-built corpus: only true k-gram sharers
+    are flagged, eval docs and short docs never appear."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from foundry_es_spark.queries.textstats import text_decontaminate
+
+    plan = (
+        text_decontaminate(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # the only Exchange allowed below the join is the broadcast one; the
+    # corpus side must be scan -> project/generate -> join (no hash
+    # partitioning before the join; the per-doc aggregate after it only
+    # sees hit rows)
+    pre_join = plan.split("BroadcastHashJoin", 1)[1]
+    assert "Exchange hashpartitioning" not in pre_join.split("HashAggregate", 1)[0], plan
+
+    w13 = " ".join(f"tok{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=w13 + " evalpad"),          # eval split
+            Row(doc_id=1, text="lead " + w13),              # shares the gram
+            Row(doc_id=2, text=w13.replace("tok5", "oth")), # 13 tokens, no shared gram
+            Row(doc_id=3, text="too short"),                # < k tokens
+        ]
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(f"{td}/documents.parquet")
+        out = {r.doc_id: (r.n_hits, r.n_grams) for r in text_decontaminate(spark, td).collect()}
+    assert out == {1: (1, 2)}, out
+
+
 def test_recall_monotone_in_nprobe_and_tables(spark):
     """VERDICT r2 item 5: the recall knobs. IVF `n_probe` and LSH
     `n_tables` must be monotone non-decreasing in recall vs the exact
