@@ -159,6 +159,41 @@ def gen_change_events(
     return out.withColumn("part", F.pmod(F.xxhash64("repo"), F.lit(n_parts)))
 
 
+def as_patch_events(events: DataFrame, every: int = 3) -> DataFrame:
+    """Deterministically convert ~1/`every` of the U events into sparse
+    ``op='P'`` patches (compact_latest_patch semantics): variant A patches
+    content+commit (lang unset), variant B patches lang only (content and
+    commit unset, the value suffixed so the patch is observable). The
+    remaining events pass through unchanged — the result is a valid patch
+    stream whose full-image equivalent a test can derive by folding."""
+    draw = F.pmod(F.xxhash64("seq", F.lit("patch")), F.lit(every * 2))
+    to_patch = (F.col("op") == "U") & (draw < 2)
+    variant_a = draw == 0  # content patch; draw == 1 -> lang patch
+    cols = [
+        F.col("seq"),
+        F.col("ts"),
+        F.when(to_patch, F.lit("P")).otherwise(F.col("op")).alias("op"),
+        F.col("repo"),
+        F.col("path"),
+        F.when(to_patch & ~variant_a, F.lit(None).cast("string"))
+        .otherwise(F.col("commit"))
+        .alias("commit"),
+        F.when(to_patch & variant_a, F.lit(None).cast("string"))
+        .when(
+            to_patch,
+            F.concat(F.col("lang"), F.lit("-p"), F.pmod(F.col("seq"), F.lit(7)).cast("string")),
+        )
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        F.when(to_patch & ~variant_a, F.lit(None).cast("string"))
+        .otherwise(F.col("content"))
+        .alias("content"),
+    ]
+    if "part" in events.columns:
+        cols.append(F.col("part"))
+    return events.select(*cols)
+
+
 def write_event_log(
     events: DataFrame,
     out_dir: str,

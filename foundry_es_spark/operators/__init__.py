@@ -2,6 +2,7 @@
 
 from foundry_es_spark.operators.cdc import (
     compact_latest,
+    compact_latest_patch,
     suppress_unchanged,
     snapshot_diff_events,
     validate_split,
@@ -9,6 +10,7 @@ from foundry_es_spark.operators.cdc import (
 
 __all__ = [
     "compact_latest",
+    "compact_latest_patch",
     "suppress_unchanged",
     "snapshot_diff_events",
     "validate_split",

@@ -21,22 +21,26 @@ from pyspark.sql import functions as F
 from foundry_es_spark.schema import KEY_COLS, VALID_OPS
 
 
-def validity_expr() -> F.Column:
-    """The S7 validity predicate as a reusable column expression."""
+def validity_expr(allow_patch: bool = False) -> F.Column:
+    """The S7 validity predicate as a reusable column expression.
+    ``allow_patch`` admits op='P' sparse updates (null content legal —
+    a patch that doesn't touch content); see :func:`compact_latest_patch`."""
+    ops = (*VALID_OPS, "P") if allow_patch else VALID_OPS
+    content_free_ops = ("D", "P") if allow_patch else ("D",)
     return (
         F.col("repo").isNotNull()
         & F.col("path").isNotNull()
         & F.col("seq").isNotNull()
-        & F.col("op").isin(*VALID_OPS)
-        & (F.col("content").isNotNull() | (F.col("op") == "D"))
+        & F.col("op").isin(*ops)
+        & (F.col("content").isNotNull() | F.col("op").isin(*content_free_ops))
     )
 
 
-def validate_split(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+def validate_split(events: DataFrame, allow_patch: bool = False) -> tuple[DataFrame, DataFrame]:
     """S7 dead-letter split: malformed events are quarantined, never fail
     the epoch (reference failure queues [F-ES: dispatcher config —
     UNVERIFIED])."""
-    valid = validity_expr()
+    valid = validity_expr(allow_patch)
     return events.where(valid), events.where(~F.coalesce(valid, F.lit(False)))
 
 
@@ -73,6 +77,59 @@ def compact_latest(
         .agg(F.max_by(payload, F.col(order_col)).alias("r"))
         .select("r.*")
     )
+
+
+def compact_latest_patch(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    order_col: str = "seq",
+) -> DataFrame:
+    """C2 extension — partial-update ("patch") fold. Debezium/Mongo-style
+    sparse updates: an event with ``op='P'`` carries ONLY the columns it
+    changes (everything else null); I/U carry full row images as before.
+
+    Semantics (per key, in `order_col` order):
+    - I/U set every column (including explicit nulls — a full image);
+      D deletes the row; P overwrites exactly its non-null columns.
+    - P cannot set a column TO null (the standard sparse-encoding
+      limitation; a full U image expresses that).
+    - P against a row that does not exist is a no-op (Debezium's
+      behavior for a patch on a missing document).
+
+    One aggregate, one shuffle, map-side combinable — the same scale
+    shape as :func:`compact_latest`. Per non-key column the winner is
+    ``max_by(col, seq)`` over the events that SET that column (all
+    I/U/D rows, plus P rows where the column is non-null; ``max_by``
+    ignores null ordering keys, pinned by test_patch). The net op is
+    decided by the latest NON-patch event: none → ``'P'`` (the key's base
+    image lives in an earlier epoch — the pipeline resolves it against
+    the stored row), ``D`` → delete (patches after a delete are no-ops),
+    else upsert. Output shape = input shape with ``op`` = net op and
+    ``order_col`` = max seq seen (so seq-conditional MERGE and lineage
+    behave identically to the plain fold).
+    """
+    key_cols = key_cols or KEY_COLS
+    val_cols = [c for c in events.columns if c not in (*key_cols, order_col, "op")]
+    is_base = F.col("op") != "P"
+    base_seq = F.when(is_base, F.col(order_col))
+    aggs = [
+        F.max(order_col).alias(order_col),
+        F.max_by("op", base_seq).alias("_base_op"),
+    ]
+    for c in val_cols:
+        setter_seq = F.when(is_base | F.col(c).isNotNull(), F.col(order_col))
+        aggs.append(F.max_by(c, setter_seq).alias(c))
+    out = events.groupBy(*key_cols).agg(*aggs)
+    net = (
+        F.when(F.col("_base_op").isNull(), F.lit("P"))
+        .when(F.col("_base_op") == "D", F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    # restore the input's column order, with op replaced by the net op
+    select = [
+        net.alias("op") if c == "op" else F.col(c) for c in events.columns
+    ]
+    return out.select(*select)
 
 
 def compact_latest_winners(

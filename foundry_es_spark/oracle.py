@@ -37,6 +37,37 @@ def fold_events(events: pd.DataFrame, extra_cols: list[str] | None = None) -> pd
     return live[out_cols].sort_values(["repo", "path"]).reset_index(drop=True)
 
 
+def fold_events_patch(events: pd.DataFrame) -> pd.DataFrame:
+    """Patch-aware fold oracle (compact_latest_patch semantics): I/U set
+    the full image, D deletes, P overwrites exactly its non-null columns
+    and is a no-op against a missing/deleted key. Row-at-a-time on purpose
+    — the independent reference the one-aggregate kernel is checked
+    against."""
+    df = events[["seq", "op", "repo", "path", "commit", "lang", "content"]].sort_values(
+        "seq", kind="mergesort"
+    )
+    state: dict = {}
+    for r in df.itertuples(index=False):
+        k = (r.repo, r.path)
+        if r.op in ("I", "U"):
+            state[k] = {"commit": r.commit, "lang": r.lang, "content": r.content}
+        elif r.op == "D":
+            state.pop(k, None)
+        elif r.op == "P":
+            cur = state.get(k)
+            if cur is not None:
+                for c in ("commit", "lang", "content"):
+                    v = getattr(r, c)
+                    if v is not None and not (isinstance(v, float) and pd.isna(v)):
+                        cur[c] = v
+    rows = [{"repo": k[0], "path": k[1], **v} for k, v in state.items()]
+    out = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    out["content_sha256"] = out["content"].map(
+        lambda s: hashlib.sha256(s.encode("utf-8")).hexdigest() if isinstance(s, str) else None
+    )
+    return out.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
 def fold_events_multi(phases: list[pd.DataFrame], extra_cols: list[str]) -> pd.DataFrame:
     """Fold a schema-evolving log: phases concatenated after normalizing
     to the FINAL schema (rename meta_license→license happens here so the

@@ -29,13 +29,14 @@ from foundry_es_spark.lake import LakeTable
 from foundry_es_spark.lake import log as commitlog
 from foundry_es_spark.operators.cdc import (
     compact_latest,
+    compact_latest_patch,
     compact_latest_winners,
     compact_sorted_partitions,
     suppress_unchanged,
     validate_split,
     validity_expr,
 )
-from foundry_es_spark.schema import BASE_SCHEMA
+from foundry_es_spark.schema import BASE_SCHEMA, KEY_COLS
 
 # Envelope columns that never become table columns.
 ENVELOPE_COLS = {"seq", "ts", "op", "part", "epoch"}
@@ -161,6 +162,18 @@ class PipelineConfig:
                                      # audited, publish = metadata swap); on the
                                      # JVM path the audit pass re-executes the
                                      # epoch plan (the documented cost).
+    patch_ops: bool = False          # C2 extension: accept op='P' sparse updates
+                                     # (Debezium/Mongo partial images — only the
+                                     # changed columns non-null). The epoch folds
+                                     # patches columnar-ly (compact_latest_patch),
+                                     # then resolves keys whose base image lives in
+                                     # an EARLIER epoch against the stored row via a
+                                     # bucket-pruned selective read; a patch for a
+                                     # key that does not exist is a counted no-op
+                                     # (n_orphan_patches in lineage). Uses the "agg"
+                                     # fold shape (fused/sorted sink disabled);
+                                     # incompatible with suppress_no_ops (content
+                                     # digest can't witness non-content patches).
     backend: object | None = None    # injected TableBackend (S5 seam, SURVEY §4.4).
                                      # None = LocalLakeBackend (LakeTable) built from
                                      # table_dir. Pass an IcebergBackend to run the
@@ -185,6 +198,12 @@ class CdcPipeline:
                     "config.backend must implement the TableBackend protocol; "
                     f"got {type(config.backend).__name__}"
                 )
+        if config.patch_ops and config.suppress_no_ops:
+            raise ValueError(
+                "patch_ops is incompatible with suppress_no_ops: C3 compares "
+                "content digests, which cannot witness a patch that changed "
+                "only non-content columns — it would wrongly suppress it"
+            )
 
     # ------------------------------------------------------------- table
 
@@ -265,6 +284,66 @@ class CdcPipeline:
 
     # -------------------------------------------------------- epoch body
 
+    def _resolve_patches(self, table, valid, compacted):
+        """Resolve net-'P' keys (base image committed in an earlier epoch)
+        against the stored rows: each unset (null) payload column coalesces
+        from the table's current value; the patched row re-enters the merge
+        as a full 'U' image, so the sink format and read path never see
+        partial rows.
+
+        Scale shape: the selective read is bucket-pruned via the RAW P
+        events (bucket is a pure function of repo — the same pattern as
+        suppress_no_ops / the CoW touched-buckets hint), so the state read
+        costs O(patched buckets), never a table scan. Orphan patches — key
+        absent or tombstoned — are no-ops (Debezium semantics), dropped
+        and counted by an Observation riding the merge job
+        (``n_orphan_patches`` in the epoch's lineage info)."""
+        from foundry_es_spark.lake.table import bucket_expr
+
+        base = compacted.where(F.col("op") != "P")
+        patches = compacted.where(F.col("op") == "P")
+        touched = [
+            r[0]
+            for r in valid.where(F.col("op") == "P")
+            .select(bucket_expr(self.cfg.n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return base, None
+        stored = table.read_internal(buckets=touched).where(F.col("_op") != "D")
+        pay = [
+            c
+            for c in compacted.columns
+            if c not in (*KEY_COLS, "op", "seq") and c in stored.columns
+        ]
+        st = stored.select(
+            *KEY_COLS,
+            *[F.col(c).alias(f"_st_{c}") for c in pay],
+            F.lit(True).alias("_hit"),
+        )
+        joined = patches.join(st, on=list(KEY_COLS), how="left")
+        pobs = Observation()
+        joined = joined.observe(
+            pobs,
+            F.sum((~F.coalesce(F.col("_hit"), F.lit(False))).cast("int")).alias(
+                "n_orphan_patches"
+            ),
+        )
+        resolved = joined.where(F.col("_hit")).select(
+            *[
+                F.lit("U").alias("op")
+                if c == "op"
+                else (
+                    F.coalesce(F.col(c), F.col(f"_st_{c}")).alias(c)
+                    if c in pay
+                    else F.col(c)
+                )
+                for c in compacted.columns
+            ]
+        )
+        return base.unionByName(resolved), pobs
+
     def apply_epoch(
         self, batch: DataFrame, epoch_id: int, offsets_hint: dict | None = None
     ) -> dict:
@@ -290,7 +369,7 @@ class CdcPipeline:
             else F.pmod(F.xxhash64("repo"), F.lit(self.cfg.n_parts))
         )
 
-        ok = validity_expr()
+        ok = validity_expr(self.cfg.patch_ops)
         raw_batch = batch  # un-observed plan, reused for quarantine splits
         n_dead_prescan = 0
         if offsets_hint is not None:
@@ -325,7 +404,7 @@ class CdcPipeline:
             min_seq = min((r["min_seq"] for r in pre_rows if r["min_seq"] is not None), default=None)
             max_seq = max((r["max_seq"] for r in pre_rows if r["max_seq"] is not None), default=None)
             if n_dead_prescan:
-                _, dead = validate_split(batch)
+                _, dead = validate_split(batch, self.cfg.patch_ops)
                 self._write_dead_letters(dead, epoch_id)
         # Footer-hint path: validity is counted by an Observation riding the
         # main job (pre-filter), so no extra scan happens either way. Under
@@ -359,6 +438,7 @@ class CdcPipeline:
             and self.cfg.merge_mode == "mor"
             and self.cfg.compact_strategy == "sorted"
             and not self.cfg.suppress_no_ops
+            and not self.cfg.patch_ops
             and supports_fused_sink(table)
             and n_events > 0
         ):
@@ -375,7 +455,13 @@ class CdcPipeline:
         pre_partitioned = False
         part_acc = None
         bucket_acc = None
-        if self.cfg.compact_strategy == "sorted":
+        if self.cfg.patch_ops:
+            # patch fold: same one-shuffle hash-aggregate shape as "agg"
+            # (map-side combinable); the sorted/fused layouts don't apply
+            # because net-'P' keys take a join against the stored rows
+            # before they are full rows at all.
+            compacted = compact_latest_patch(valid)
+        elif self.cfg.compact_strategy == "sorted":
             if self.cfg.record_partition_metrics:
                 from foundry_es_spark.operators.metrics import partition_metrics_acc
 
@@ -403,6 +489,14 @@ class CdcPipeline:
         # C7 — evolve the table to accept this batch's payload shape.
         payload_fields = [f for f in batch.schema.fields if f.name not in ENVELOPE_COLS]
         table.evolve_for_batch(T.StructType(payload_fields), self.cfg.rename_map)
+
+        patch_obs = None
+        if self.cfg.patch_ops:
+            # C2 patch resolution: keys whose base image lives in an
+            # EARLIER epoch (net op 'P') coalesce their unset columns from
+            # the stored row — BEFORE enhancement, so derived columns
+            # (digest, DATS) recompute over the resolved full row.
+            compacted, patch_obs = self._resolve_patches(table, valid, compacted)
 
         # T1/T2/T3 — enhancement on the compacted survivors only (far
         # fewer rows than the raw batch when keys are updated repeatedly).
@@ -506,14 +600,18 @@ class CdcPipeline:
                 if obs_pre is not None:
                     n_dead = int(obs_pre.get["n_dead"] or 0)
                     if n_dead:
-                        _, dead = validate_split(raw_batch)
+                        _, dead = validate_split(raw_batch, self.cfg.patch_ops)
                         self._write_dead_letters(dead, epoch_id)
                 else:
                     # winners strategy: Observation would double-count, so
                     # the quarantine split itself is the source of truth.
-                    _, dead = validate_split(raw_batch)
+                    _, dead = validate_split(raw_batch, self.cfg.patch_ops)
                     n_dead = self._write_dead_letters(dead, epoch_id)
                 out["n_dead_letters"] = n_dead
+            if patch_obs is not None:
+                out["n_orphan_patches"] = int(
+                    patch_obs.get["n_orphan_patches"] or 0
+                )
             info_out.update(out)
             return out
 
@@ -548,7 +646,7 @@ class CdcPipeline:
             )
         stage_sec["merge_write"] = round(time.monotonic() - t2, 3)
         self._fold_bucket_acc(bucket_acc)
-        info = {**info, **{k: info_out[k] for k in ("n_keys", "n_deletes", "n_dead_letters") if k in info_out}}
+        info = {**info, **{k: info_out[k] for k in ("n_keys", "n_deletes", "n_dead_letters", "n_orphan_patches") if k in info_out}}
         if self.cfg.merge_mode == "mor":
             merge_stats = self._maybe_compact(table, merge_stats, stage_sec)
         return {**info, **merge_stats, "stage_sec": stage_sec, "skipped": False}

@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--hot-bucket-salts", type=int, default=0,
                     help="C4 adaptive skew: salt buckets that exceeded 4x the median "
                          "input rows last epoch over this many slices (0 = flat)")
+    ap.add_argument("--patch-ops", action="store_true",
+                    help="accept op=P sparse updates (C9 partial-update fold)")
     ap.add_argument("--partition-metrics", action="store_true",
                     help="record per-partition compaction task metrics in lineage")
     ap.add_argument("--max-files-per-trigger", type=int, default=64)
@@ -66,6 +68,7 @@ def main() -> None:
             fused_write={"auto": "auto", "on": True, "off": False}[args.fused_write],
             record_partition_metrics=args.partition_metrics,
             hot_bucket_salts=args.hot_bucket_salts,
+            patch_ops=args.patch_ops,
         ),
     )
     maintainers = []

