@@ -200,6 +200,32 @@ class IcebergBackend:
             f"WHEN NOT MATCHED AND s._op != 'D' THEN INSERT ({names}) VALUES ({vals})"
         )
 
+    def merge_patch_sql(self, source: str) -> str:
+        """C9 cluster twin (operators/cdc.py compact_latest_patch): when the
+        source carries SPARSE patch rows (``_op='P'``, unset columns null)
+        alongside full images, resolution rides the MERGE itself — no
+        pre-read of the stored rows (the local backend's
+        ``_resolve_patches`` selective read becomes Iceberg's own MATCHED
+        branch). Per column: matched patches coalesce ``s.c`` over ``t.c``,
+        full images overwrite; a patch with no matching row is NOT inserted
+        (the orphan no-op semantic); ``_op`` is stored as 'U' for applied
+        patches so the table never contains partial-image markers."""
+        on = " AND ".join(f"t.{k} = s.{k}" for k in KEY_COLS)
+        cols = [f.name for f in self._fields]
+        sets = ", ".join(
+            f"t.{c} = CASE WHEN s._op = 'P' THEN coalesce(s.{c}, t.{c}) ELSE s.{c} END"
+            for c in cols
+        )
+        sets += ", t._seq = s._seq, t._op = CASE WHEN s._op = 'P' THEN 'U' ELSE s._op END"
+        names = ", ".join(cols + ["_seq", "_op"])
+        vals = ", ".join(f"s.{c}" for c in cols + ["_seq", "_op"])
+        return (
+            f"MERGE INTO {self.fqtn} t USING {source} s ON {on} "
+            f"WHEN MATCHED AND s._seq > t._seq AND s._op = 'D' THEN DELETE "
+            f"WHEN MATCHED AND s._seq > t._seq THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED AND s._op NOT IN ('D', 'P') THEN INSERT ({names}) VALUES ({vals})"
+        )
+
     def merge_upsert(self, batch: DataFrame, fence=None, files_per_bucket: int = 1,
                      info=None, touched_buckets: list[int] | None = None) -> dict:
         # touched_buckets is accepted for protocol parity and ignored:

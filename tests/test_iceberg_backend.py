@@ -56,6 +56,28 @@ def test_merge_sql_golden(be):
     )
 
 
+def test_merge_patch_sql_golden(be):
+    """C9 cluster twin: sparse patches resolve inside the MERGE (matched
+    rows coalesce per column, orphan patches are never inserted, applied
+    patches store _op='U')."""
+    sql = be.merge_patch_sql("src")
+    assert sql == (
+        "MERGE INTO lake.db.code t USING src s "
+        "ON t.repo = s.repo AND t.path = s.path "
+        "WHEN MATCHED AND s._seq > t._seq AND s._op = 'D' THEN DELETE "
+        "WHEN MATCHED AND s._seq > t._seq THEN UPDATE SET "
+        "t.repo = CASE WHEN s._op = 'P' THEN coalesce(s.repo, t.repo) ELSE s.repo END, "
+        "t.path = CASE WHEN s._op = 'P' THEN coalesce(s.path, t.path) ELSE s.path END, "
+        "t.commit = CASE WHEN s._op = 'P' THEN coalesce(s.commit, t.commit) ELSE s.commit END, "
+        "t.lang = CASE WHEN s._op = 'P' THEN coalesce(s.lang, t.lang) ELSE s.lang END, "
+        "t.content = CASE WHEN s._op = 'P' THEN coalesce(s.content, t.content) ELSE s.content END, "
+        "t._seq = s._seq, t._op = CASE WHEN s._op = 'P' THEN 'U' ELSE s._op END "
+        "WHEN NOT MATCHED AND s._op NOT IN ('D', 'P') THEN INSERT "
+        "(repo, path, commit, lang, content, _seq, _op) VALUES "
+        "(s.repo, s.path, s.commit, s.lang, s.content, s._seq, s._op)"
+    )
+
+
 def test_evolution_statements_golden(be):
     be.evolve_for_batch(
         T.StructType.fromDDL("repo string, path string, commit string, lang string, "
