@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -47,6 +48,61 @@ class AuditFailed(Exception):
     publishing commit was withheld, the epoch stays unfenced (resume will
     retry it after the cause is fixed), and on the fused sink the staged
     files were discarded."""
+
+
+_AQE_EMPTY_RULE = (
+    "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+)
+
+
+@contextmanager
+def exact_observations(spark: SparkSession):
+    """Exclude AQE's empty-relation propagation for the duration of an
+    epoch body.
+
+    The epoch's merge stats ride on CollectMetrics (Observation) nodes
+    inside the write job; AQEPropagateEmptyRelation may eliminate those
+    nodes when a runtime-materialized subtree turns out empty (e.g. an
+    epoch whose only event is an orphan patch), silently zeroing or — for
+    nodes whose input HAD rows, like the orphan-patch counter riding the
+    resolution join — undercounting lineage metrics. An epoch with empty
+    subtrees is trivially cheap, so the lost optimization is noise; exact
+    lineage is not. Session-scoped conf, restored on exit (the epoch body
+    is the only query the pipeline runs concurrently)."""
+    key = "spark.sql.adaptive.optimizer.excludedRules"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, f"{prev},{_AQE_EMPTY_RULE}" if prev else _AQE_EMPTY_RULE)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def observed_metrics(obs: Observation, **defaults) -> dict:
+    """Observation metrics with exact zero-row defaults.
+
+    AQE's empty-relation propagation may eliminate a CollectMetrics node
+    whose input subtree provably produced 0 rows (e.g. an epoch whose only
+    event is an orphan patch folds to an empty merge batch); the query then
+    completes with a schema-LESS empty metrics Row, and ``Observation.get``
+    dies inside ``PythonSQLUtils.toPyRow`` (``assert
+    row.isInstanceOf[GenericRowWithSchema]``). Because that pruning only
+    fires when zero rows flowed through the observed node, the caller's
+    zero-valued defaults are the exact metric values, not approximations —
+    so this helper returns them instead of propagating the Py4J assertion.
+    Any other failure re-raises."""
+    try:
+        return dict(obs.get)
+    except Exception as e:  # Py4JJavaError: schema-less Row rejected by toPyRow
+        if "toPyRow" not in str(e):
+            raise
+        return dict(defaults)
 
 
 def offsets_from_footers(epoch_dir: str) -> dict | None:
@@ -358,6 +414,12 @@ class CdcPipeline:
         NO separate pre-scan job; without it (streaming / ad-hoc batches)
         a light per-partition aggregate job derives the same numbers.
         """
+        with exact_observations(self.spark):
+            return self._apply_epoch_body(batch, epoch_id, offsets_hint)
+
+    def _apply_epoch_body(
+        self, batch: DataFrame, epoch_id: int, offsets_hint: dict | None = None
+    ) -> dict:
         table = self.ensure_table()
         if table.is_epoch_committed(self.cfg.pipeline_id, epoch_id):
             return {"epoch": epoch_id, "skipped": True}
@@ -579,7 +641,7 @@ class CdcPipeline:
             # the footer-hint path happens HERE so a crash after the fencing
             # commit can never lose dead letters (the epoch would be skipped
             # on resume and `_sys/errors/epoch=N` never written).
-            vals = obs.get
+            vals = observed_metrics(obs, n_keys=0, n_deletes=0)
             # the main job has finished by now — record its wall so the
             # lineage row carries the write stage (the outer assignment
             # after append_delta/merge_upsert would be too late for the
@@ -598,7 +660,7 @@ class CdcPipeline:
                 out["partition_metrics"] = summarize_partitions(part_acc.value)
             if offsets_hint is not None:
                 if obs_pre is not None:
-                    n_dead = int(obs_pre.get["n_dead"] or 0)
+                    n_dead = int(observed_metrics(obs_pre, n_dead=0)["n_dead"] or 0)
                     if n_dead:
                         _, dead = validate_split(raw_batch, self.cfg.patch_ops)
                         self._write_dead_letters(dead, epoch_id)
@@ -610,7 +672,10 @@ class CdcPipeline:
                 out["n_dead_letters"] = n_dead
             if patch_obs is not None:
                 out["n_orphan_patches"] = int(
-                    patch_obs.get["n_orphan_patches"] or 0
+                    observed_metrics(patch_obs, n_orphan_patches=0)[
+                        "n_orphan_patches"
+                    ]
+                    or 0
                 )
             info_out.update(out)
             return out
@@ -750,7 +815,7 @@ class CdcPipeline:
         # must never lose dead letters — the epoch would be skipped on
         # resume and the quarantine never written).
         if offsets_hint is not None and obs_pre is not None:
-            n_dead = int(obs_pre.get["n_dead"] or 0)
+            n_dead = int(observed_metrics(obs_pre, n_dead=0)["n_dead"] or 0)
             if n_dead:
                 from foundry_es_spark.operators.cdc import validate_split
 

@@ -360,6 +360,45 @@ WHERE cum_chars <= 5000
 """
 
 
+def corpus_domain_cap(spark, sf, cap: int = 40):
+    """Per-source frequency cap (the Common-Crawl "domain cap" curation
+    pass: no single site may dominate the corpus): keep at most ``cap``
+    documents per source, selected by a deterministic md5 rank — so the
+    kept SET is the cross-engine contract, reproducible across runs,
+    partitionings, and engines (md5(doc_id) is the identical string
+    function in Spark and DuckDB; doc_id breaks the astronomically
+    unlikely hash tie).
+
+    Plan: Spark's WindowGroupLimit rewrites ``row_number() <= cap`` into a
+    per-map-partition partial top-``cap`` BEFORE the exchange, so the
+    shuffle carries at most cap rows per (source, input partition) — a hot
+    domain with 10^8 pages ships ~cap·n_partitions rows, not 10^8. The
+    sort key is a per-row hash, so there is no skewed sort."""
+    docs = table(spark, sf, "documents")
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        docs.select("doc_id", "source", rk.alias("rk"))
+        .where(F.col("rk") <= cap)
+        .select("doc_id", "source", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+DOMAIN_CAP_SQL = """
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= 40
+"""
+
+
 def q37_date_spine(spark, sf):
     """Date-spine densification: every (user, day) cell over the table's
     full date range, zero-filled — the gap-free daily activity matrix that
@@ -545,6 +584,7 @@ QUERIES = {
     "text_tfidf_topk": text_tfidf_topk,
     "sample_deterministic_hash": sample_deterministic_hash,
     "corpus_mix_budget": corpus_mix_budget,
+    "corpus_domain_cap": corpus_domain_cap,
     "q37_date_spine": q37_date_spine,
     "q38_distribution_ranks": q38_distribution_ranks,
     "q39_fuzzy_match_blocked": q39_fuzzy_match_blocked,
@@ -558,6 +598,7 @@ ORACLES = {
     "text_tfidf_topk": TFIDF_SQL,
     "sample_deterministic_hash": SAMPLE_SQL,
     "corpus_mix_budget": MIX_SQL,
+    "corpus_domain_cap": DOMAIN_CAP_SQL,
     "q37_date_spine": Q37_SQL,
     "q38_distribution_ranks": Q38_SQL,
     "q39_fuzzy_match_blocked": Q39_SQL,

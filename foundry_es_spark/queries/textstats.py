@@ -365,6 +365,81 @@ FROM t
 """
 
 
+def text_repetition_topgram(spark, sf, max_bp: int = 2000):
+    """Top-2-gram repetition fraction (the MassiveText/Gopher §A1.1
+    repetition signal the plain duplicate-line ratio misses): the share of
+    a document's tokens covered by its single most frequent 2-gram, in
+    integer basis points; docs above ``max_bp`` are dropped.
+
+    Scale shape: NO shuffle. The naive plan — explode 2-grams, groupBy
+    (doc_id, gram), max(count) per doc — shuffles ~1.3× the corpus bytes
+    at 100 TB. Here the per-doc histogram max is a run-length fold over
+    the SORTED gram array (array_sort makes equal grams adjacent; one
+    ``aggregate`` tracks current-run vs best-run), entirely inside
+    whole-stage codegen: the filter runs at scan bandwidth, per-row cost
+    O(tokens·log tokens)."""
+    d = table(spark, sf, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = d.select("doc_id", w.alias("w"), F.size(w).cast("bigint").alias("n_tokens"))
+    toks = toks.where(F.col("n_tokens") >= 2)
+    gs = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.concat(
+                F.element_at("w", i), F.lit(" "), F.element_at("w", i + 1)
+            ),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    run_best = F.aggregate(
+        gs,
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    out = toks.select(
+        "doc_id",
+        "n_tokens",
+        run_best.alias("top2gram_cnt"),
+        F.floor(run_best * 2 * 10000 / F.col("n_tokens")).cast("bigint").alias("top2gram_bp"),
+    )
+    return out.withColumn("keep", F.col("top2gram_bp") <= max_bp)
+
+
+TEXT_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+  FROM t WHERE len(w) >= 2
+),
+c AS (
+  SELECT doc_id, n_tokens, CAST(count(*) AS BIGINT) AS cnt
+  FROM g GROUP BY doc_id, n_tokens, gram
+),
+m AS (
+  SELECT doc_id, n_tokens, max(cnt) AS top2gram_cnt
+  FROM c GROUP BY doc_id, n_tokens
+)
+SELECT doc_id, n_tokens, top2gram_cnt,
+       CAST(top2gram_cnt * 2 * 10000 // n_tokens AS BIGINT) AS top2gram_bp,
+       (top2gram_cnt * 2 * 10000 // n_tokens) <= 2000 AS keep
+FROM m
+"""
+
+
 def text_chunk_windows(spark, sf, window: int = 32, stride: int = 24):
     """Fixed-stride token windows — the chunking primitive every RAG /
     training pipeline runs before embedding or packing. Each doc yields
@@ -491,38 +566,48 @@ def text_decontaminate(spark, sf, k: int = 13, eval_mod: int = 10):
     join key for ``xxhash64(g)`` — an 8-byte long instead of a ~100-byte
     string through the broadcast, with ~n²/2⁶⁴ collision odds. Docs
     shorter than k tokens have no k-gram and cannot be contaminated
-    (filtered on both sides)."""
+    (filtered on both sides). ``n_grams``/``hit_bp`` count gram POSITIONS
+    (the standard "fraction of k-grams contaminated" measure) — which also
+    keeps the plan single-pass: the position count is ``size(w)-k+1``,
+    computed from the token array without re-evaluating the gram
+    expression (a distinct-gram denominator would put the transform in the
+    same projection twice — size(gs) + explode(gs) — and CollapseProject
+    inlines it into BOTH, measured ~2× wall at sf0.1).
+
+    Two more plan traps shaped this expression (both of the class
+    dedup_minhash_lsh documents):
+    - the sequence bound is clamped TOTAL — the join's inferred
+      isnotnull(g) can inline the gram expression into the scan-level
+      Filter, where it runs on rows the size>=k filter later drops; an
+      unclamped sequence(0, size-k) DESCENDS there and slice(0) throws;
+    - the join key is made NON-NULLABLE (coalesce with '') so that
+      isnotnull constraint is never inferred at all and the gram pipeline
+      stays out of the scan filter entirely.
+    """
     d = table(spark, sf, "documents")
     w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    grams = (
-        d.select("doc_id", w.alias("w"))
-        .where(F.size("w") >= k)
-        .select(
+
+    def _grams(df):
+        return df.select(
             "doc_id",
-            F.array_distinct(
+            "n_grams",
+            F.explode(
                 F.transform(
-                    # upper bound clamped to keep the expression TOTAL: the
-                    # join's inferred isnotnull(g) constraint inlines this
-                    # whole expression into the scan-level Filter (the same
-                    # trap dedup_minhash_lsh documents), where it runs on
-                    # rows the size>=k filter later drops — an unclamped
-                    # sequence(0, size-k) DESCENDS for short docs and
-                    # slice(start=0) throws. The garbage 1-gram rows this
-                    # clamp produces for short docs never survive the filter.
                     F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0))),
                     lambda i: F.concat_ws(" ", F.slice("w", i + 1, k)),
                 )
-            ).alias("gs"),
-        )
-    )
+            ).alias("g0"),
+        ).select("doc_id", "n_grams", F.coalesce("g0", F.lit("")).alias("g"))
+
+    toks = d.select(
+        "doc_id", w.alias("w"), (F.size(w) - (k - 1)).cast("bigint").alias("n_grams")
+    ).where(F.col("n_grams") >= 1)
     ev = (
-        grams.where(F.col("doc_id") % eval_mod == 0)
-        .select(F.explode("gs").alias("g"))
+        _grams(toks.where(F.col("doc_id") % eval_mod == 0))
+        .select("g")
         .distinct()
     )
-    tr = grams.where(F.col("doc_id") % eval_mod != 0).select(
-        "doc_id", F.size("gs").cast("bigint").alias("n_grams"), F.explode("gs").alias("g")
-    )
+    tr = _grams(toks.where(F.col("doc_id") % eval_mod != 0))
     return (
         tr.join(F.broadcast(ev), "g")
         .groupBy("doc_id", "n_grams")
@@ -538,15 +623,14 @@ def text_decontaminate(spark, sf, k: int = 13, eval_mod: int = 10):
 
 TEXT_DECONTAMINATE_SQL = r"""
 WITH grams AS (
-  SELECT doc_id,
-         list_distinct([array_to_string(w[i:i+12], ' ')
-                        FOR i IN range(1, len(w) - 12 + 1)]) AS gs
+  SELECT doc_id, CAST(len(w) - 12 AS BIGINT) AS n_grams,
+         [array_to_string(w[i:i+12], ' ') FOR i IN range(1, len(w) - 12 + 1)] AS gs
   FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
         FROM documents)
   WHERE len(w) >= 13
 ),
 ev AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 10 = 0),
-tr AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, unnest(gs) AS g
+tr AS (SELECT doc_id, n_grams, unnest(gs) AS g
        FROM grams WHERE doc_id % 10 <> 0)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, n_grams,
        CAST(count(*) * 10000 // n_grams AS BIGINT) AS hit_bp
@@ -563,6 +647,7 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_lang_confusion": text_lang_confusion,
     "text_gopher_filter": text_gopher_filter,
+    "text_repetition_topgram": text_repetition_topgram,
     "text_chunk_windows": text_chunk_windows,
     "text_decontaminate": text_decontaminate,
     "text_pack_sequences": text_pack_sequences,
@@ -581,6 +666,7 @@ ORACLES = {
     "text_lang_id": TEXT_LANG_ID_SQL,
     "text_lang_confusion": LANG_CONFUSION_SQL,
     "text_gopher_filter": TEXT_GOPHER_SQL,
+    "text_repetition_topgram": TEXT_REPETITION_SQL,
     "text_chunk_windows": TEXT_CHUNK_SQL,
     "text_decontaminate": TEXT_DECONTAMINATE_SQL,
 }

@@ -75,6 +75,28 @@ def test_no_forced_broadcast_in_scaling_relational_queries():
         assert "broadcast(c)" not in src, fn.__name__
 
 
+def test_repetition_and_domain_cap_plan_shapes(spark):
+    """text_repetition_topgram: the per-doc histogram max is a run-length
+    fold over a sorted gram array — NO exchange, no Python, the filter runs
+    at scan bandwidth (the naive explode→groupBy(doc,gram) plan shuffles
+    ~1.3× the corpus bytes). corpus_domain_cap: row_number()<=cap must be
+    rewritten by WindowGroupLimit into a partial per-map-partition
+    top-cap BELOW the exchange, so a hot domain ships O(cap·partitions)
+    rows through the shuffle, not its full page count."""
+    if not os.path.isdir(SF):
+        pytest.skip("testdata not present")
+    from foundry_es_spark.queries.analytics import corpus_domain_cap
+    from foundry_es_spark.queries.textstats import text_repetition_topgram
+
+    p = text_repetition_topgram(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p and "ArrowEval" not in p, p
+
+    p2 = corpus_domain_cap(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    pre_exchange = p2.split("Exchange", 1)[1]
+    assert "WindowGroupLimit" in pre_exchange, p2
+
+
 def test_lang_id_plan_has_no_python_stage(spark):
     """BASELINE.json: no per-row Python. Since r3 the lang-id path is
     required to be 100% JVM — broadcast marker join + argmax window, no
@@ -120,6 +142,11 @@ def test_decontaminate_plan_broadcasts_eval_side(spark):
     # sees hit rows)
     pre_join = plan.split("BroadcastHashJoin", 1)[1]
     assert "Exchange hashpartitioning" not in pre_join.split("HashAggregate", 1)[0], plan
+    # single-pass guard: the gram expression must appear exactly once per
+    # side — a nullable join key (inferred isnotnull pushed into the scan
+    # Filter) or a distinct-gram denominator (size(gs) + explode(gs)
+    # collapsed into one projection) each double it, ~2x wall at sf0.1
+    assert plan.count("transform(") <= 2, plan
 
     w13 = " ".join(f"tok{i}" for i in range(13))
     docs = spark.createDataFrame(

@@ -173,6 +173,65 @@ def test_patch_validity_and_config_guards(spark, tmp_path):
         )
 
 
+def test_orphan_only_epoch_reports_exact_metrics(spark, tmp_path):
+    """Regression (AQE empty-relation pruning vs Observation): an epoch
+    whose only event is an orphan patch folds to an EMPTY merge batch;
+    AQEPropagateEmptyRelation used to eliminate the CollectMetrics nodes,
+    crashing Observation.get with a schema-less Row (toPyRow assertion)
+    and — for the orphan counter riding the resolution join, whose input
+    HAD a row — silently undercounting. apply_epoch now excludes that AQE
+    rule for the epoch body, so lineage stays exact."""
+    assert (
+        spark.conf.get("spark.sql.adaptive.enabled", "true") == "true"
+    ), "regression only meaningful with AQE on"
+    pipe = _pipe(spark, tmp_path, name="orph")
+    pipe.apply_epoch(
+        _mk_events(spark, [(1, "I", "r1", "a", "c0", "py", "content-a")]), 0
+    )
+    info = pipe.apply_epoch(
+        _mk_events(spark, [(2, "P", "r9", "zz", None, None, None)]), 1
+    )
+    assert info["n_orphan_patches"] == 1
+    assert info["n_keys"] == 0 and info["n_deletes"] == 0
+    # the exclusion is scoped: the session conf is restored afterwards
+    assert not spark.conf.get(
+        "spark.sql.adaptive.optimizer.excludedRules", ""
+    ), "epoch body leaked the AQE rule exclusion into the session"
+    assert [r["path"] for r in pipe.table.read().collect()] == ["a"]
+
+
+def test_patch_with_schema_evolution(spark, tmp_path):
+    """A patch may carry a column the table has never seen: C7 evolves the
+    schema first (resolution runs after evolve_for_batch), the stored row
+    coalesces for every other column, and pre-evolution rows read null for
+    the new column."""
+    pipe = _pipe(spark, tmp_path, name="evo")
+    e0 = _mk_events(
+        spark,
+        [
+            (1, "I", "r1", "a", "c-a0", "python", "content-a"),
+            (2, "I", "r1", "b", "c-b0", "java", "content-b"),
+        ],
+    )
+    pipe.apply_epoch(e0, 0)
+
+    evolved = T.StructType(
+        list(EVENT_SCHEMA.fields) + [T.StructField("n_stars", T.LongType(), True)]
+    )
+    e1 = spark.createDataFrame(
+        [(100, None, "P", "r1", "a", None, None, None, 42)], evolved
+    )
+    info = pipe.apply_epoch(e1, 1)
+    assert info.get("n_orphan_patches", 0) == 0
+
+    rows = {(r["repo"], r["path"]): r for r in pipe.table.read().collect()}
+    a, b = rows[("r1", "a")], rows[("r1", "b")]
+    assert a["n_stars"] == 42
+    assert a["content_sha256"] is not None and a["lang"] == "python"
+    assert a["commit"] == "c-a0"  # untouched columns resolved from storage
+    assert b["n_stars"] is None  # pre-evolution row unaffected
+
+
 def test_patch_resolution_reads_only_touched_buckets(spark, tmp_path):
     """Scale contract: the patch-resolution state read is bucket-pruned —
     an epoch patching one repo opens only that repo's bucket files, not

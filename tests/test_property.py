@@ -96,6 +96,95 @@ def test_replay_matches_fold_oracle(spark, tmp_path_factory, log):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+PATCH_EVENT_ST = st.tuples(
+    st.integers(0, len(REPOS) - 1),
+    st.integers(0, len(PATHS) - 1),
+    st.sampled_from(["I", "U", "D", "P", "P"]),  # patches over-weighted
+    st.text(alphabet="abc\n", min_size=0, max_size=12),
+    st.integers(0, 7),  # P only: bitmask of which of (commit, lang, content) are set
+)
+
+
+@st.composite
+def patch_logs(draw):
+    evs = draw(st.lists(PATCH_EVENT_ST, min_size=1, max_size=60))
+    n_epochs = draw(st.integers(1, 3))
+    return evs, n_epochs
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(patch_logs())
+def test_patch_replay_matches_patch_fold_oracle(spark, tmp_path_factory, log):
+    """C9 adversarial interleavings: patches before/after deletes, orphan
+    patches, all-null patches, patches split across arbitrary epoch
+    boundaries (cross-epoch resolution) — engine vs the row-at-a-time
+    patch fold oracle."""
+    from foundry_es_spark.oracle import fold_events_patch
+
+    evs, n_epochs = log
+    tmp = str(tmp_path_factory.mktemp("patchprop"))
+    rows = []
+    for seq, (ri, pi, op, text, mask) in enumerate(evs):
+        if op == "P":
+            commit = f"pc{seq}" if mask & 1 else None
+            lang = "go" if mask & 2 else None
+            content = (text + "!") if mask & 4 else None
+        else:
+            commit = None if op == "D" else f"c{seq}"
+            lang = None if op == "D" else "python"
+            content = None if op == "D" else text
+        rows.append(
+            {
+                "seq": seq,
+                "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=seq),
+                "op": op,
+                "repo": REPOS[ri],
+                "path": PATHS[pi],
+                "commit": commit,
+                "lang": lang,
+                "content": content,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    sdf = spark.createDataFrame(
+        pdf,
+        "seq long, ts timestamp, op string, repo string, path string, "
+        "commit string, lang string, content string",
+    ).withColumn("part", F.pmod(F.xxhash64("repo"), F.lit(2)))
+
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(
+            pipeline_id="p",
+            table_dir=f"{tmp}/t",
+            n_buckets=4,
+            patch_ops=True,
+        ),
+    )
+    per_epoch = max(1, (len(rows) + n_epochs - 1) // n_epochs)
+    for e in range(n_epochs):
+        chunk = sdf.where(
+            (F.col("seq") >= e * per_epoch) & (F.col("seq") < (e + 1) * per_epoch)
+        )
+        pipe.apply_epoch(chunk, e)
+
+    got = (
+        pipe.table.read()
+        .select("repo", "path", "commit", "lang", "content_sha256")
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    exp = fold_events_patch(pdf)[
+        ["repo", "path", "commit", "lang", "content_sha256"]
+    ].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 # Golden digest for the fixed corpus (deterministic fixtures, seedless hash
 # derivation): regenerating the fixture MUST reproduce this digest. If an
 # intentional fixture/engine-semantics change breaks it, update the constant
