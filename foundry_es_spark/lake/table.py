@@ -246,6 +246,7 @@ class LakeTable:
         files_per_bucket: int = 1,
         codec: str = "zstd",
         filter_repos: list[str] | None = None,
+        drop_tombstones_below: int | None = None,
     ) -> DataFrame:
         """Merge-on-read with NO payload shuffle: every file of a bucket
         holds a disjoint key range vs other buckets (the write layout is
@@ -280,6 +281,11 @@ class LakeTable:
         why compaction cost stays proportional to the bytes of the
         compacted buckets.
         """
+        assert drop_tombstones_below is None or write_rel is not None, (
+            "tombstone GC is a compaction-rewrite concern; a plain merged "
+            "READ must keep tombstones (internal readers rely on them)"
+        )
+        gc_below = drop_tombstones_below
         key_cols = list(rec.get("key_cols", ["repo", "path"]))
         cur_fields = self.schema_fields(rec)
         out_schema = _fields_to_struct(cur_fields, with_sys=True)
@@ -357,7 +363,24 @@ class LakeTable:
                         neq = d if neq is None else pc.or_(neq, d)
                     neq = neq.combine_chunks() if isinstance(neq, pa.ChunkedArray) else neq
                     mask = pa.concat_arrays([neq, pa.array([True])])
-                return tbl.filter(mask).drop(["_gen"])
+                out = tbl.filter(mask).drop(["_gen"])
+                if gc_below is not None:
+                    # Tombstone GC (fused-compaction mode only): the merged
+                    # row is the key's LATEST state and every older
+                    # generation of this bucket is being collapsed, so once
+                    # the caller's low watermark guarantees no future event
+                    # carries seq <= horizon, a D row at seq <= horizon can
+                    # never be needed again (any later event outranks it
+                    # legitimately) — drop it instead of rewriting it.
+                    out = out.filter(
+                        pc.invert(
+                            pc.and_(
+                                pc.equal(out.column("_op"), "D"),
+                                pc.less_equal(out.column("_seq"), gc_below),
+                            )
+                        )
+                    )
+                return out
 
             def emit(out, b, file_idx):
                 """Stream back (read mode) or write a parquet file and
@@ -1110,11 +1133,45 @@ class LakeTable:
                 gens.setdefault(f["bucket"], set()).add(f["path"].split("/")[1])
         return {b: len(s) for b, s in gens.items()}
 
-    def compact_buckets(self, buckets: list[int], files_per_bucket: int = 1) -> dict:
+    def purge_tombstones(self, horizon_seq: int, files_per_bucket: int = 1) -> dict:
+        """Tombstone GC (the Cassandra ``gc_grace`` / Hudi cleaner analogue
+        for the local backend): rewrite every bucket, dropping D rows with
+        ``_seq <= horizon_seq``.
+
+        Tombstones exist to block STALE re-delivered events: without the D
+        row for key K deleted at seq S, a late event with seq < S would
+        look like a fresh insert and resurrect dead data. ``horizon_seq``
+        is the caller's LOW WATERMARK — the assertion that every event with
+        seq <= horizon has been fully delivered — under which any future
+        event outranks the dropped tombstone legitimately, so dropping it
+        cannot change any reachable state. Without GC a 10^10-event stream
+        with key churn carries every deleted key's tombstone forever: the
+        table's dead weight grows with lifetime deletes, not live rows.
+
+        Rides the fused compaction kernel (one task per bucket, no
+        exchange); idempotent and crash-safe like any compaction. The
+        IcebergBackend twin needs no GC — its MERGE deletes rows physically
+        (``lake/iceberg.py:merge_sql``), trading this backend's stronger
+        stale-re-delivery protection for zero tombstone debt."""
+        rec = self._current()
+        buckets = sorted({f["bucket"] for f in rec["files"]})
+        return self.compact_buckets(
+            buckets,
+            files_per_bucket=files_per_bucket,
+            drop_tombstones_below=horizon_seq,
+        )
+
+    def compact_buckets(
+        self,
+        buckets: list[int],
+        files_per_bucket: int = 1,
+        drop_tombstones_below: int | None = None,
+    ) -> dict:
         """rewrite_data_files for a subset of buckets: collapse their delta
         generations into one base generation. Pure maintenance — idempotent,
         crash-safe (uncommitted rewrite is invisible), and selective so hot
         buckets compact without touching cold ones.
+        ``drop_tombstones_below``: see :meth:`purge_tombstones`.
 
         Fully fused: one Spark job whose tasks read a bucket's generations,
         merge them in Arrow, and write the compacted parquet in place
@@ -1134,7 +1191,8 @@ class LakeTable:
         if os.path.isdir(out_dir):
             shutil.rmtree(out_dir)
         meta = self._bucket_local_merge(
-            rec, target, write_rel=rel, files_per_bucket=files_per_bucket
+            rec, target, write_rel=rel, files_per_bucket=files_per_bucket,
+            drop_tombstones_below=drop_tombstones_below,
         )
         new_files = [
             {

@@ -8,11 +8,14 @@ procedures, see lake/iceberg.py expire/vacuum/rewrite golden SQL):
         --compact-threshold 4 --files-per-bucket 1 \
         --keep-snapshots 5
 
-Order matters and is fixed: (1) compact buckets whose delta-generation
-count crossed the threshold (read-amplification bound), (2) expire commit
-records beyond the retention window (commit-log size bound), (3) vacuum
-data files no retained snapshot references (storage bound). Each step is
-independently idempotent, so a crashed or retried run just resumes.
+Order matters and is fixed: (0) optional tombstone GC at the supplied
+low watermark (dead-key storage bound — a full-bucket compaction pass,
+so it also resets every delta-generation count), (1) compact buckets
+whose delta-generation count crossed the threshold (read-amplification
+bound), (2) expire commit records beyond the retention window
+(commit-log size bound), (3) vacuum data files no retained snapshot
+references (storage bound). Each step is independently idempotent, so a
+crashed or retried run just resumes.
 Prints one JSON line: the describe() summary before/after plus per-step
 actions — consumable by the scheduler's log scraper.
 """
@@ -31,6 +34,11 @@ def main() -> None:
     ap.add_argument("--files-per-bucket", type=int, default=1)
     ap.add_argument("--keep-snapshots", type=int, default=5,
                     help="retention: snapshots kept time-travelable; also the vacuum floor")
+    ap.add_argument("--gc-tombstones-below", type=int, default=None, metavar="SEQ",
+                    help="low watermark: additionally purge D rows with _seq <= SEQ "
+                    "(caller asserts all events <= SEQ are fully delivered; "
+                    "see LakeTable.purge_tombstones). Runs as a full-bucket "
+                    "compaction pass before threshold compaction.")
     ap.add_argument("--skip-compact", action="store_true")
     ap.add_argument("--skip-expire", action="store_true")
     ap.add_argument("--skip-vacuum", action="store_true")
@@ -42,6 +50,11 @@ def main() -> None:
     spark = get_spark(app_name="cdc-maintain")
     t = LakeTable(spark, args.table_dir)
     out: dict = {"table_dir": args.table_dir, "before": t.describe()}
+
+    if args.gc_tombstones_below is not None:
+        out["tombstone_gc"] = t.purge_tombstones(
+            args.gc_tombstones_below, files_per_bucket=args.files_per_bucket
+        )
 
     if not args.skip_compact:
         gens = t.bucket_delta_generations()
