@@ -208,7 +208,7 @@ def test_golden_digest_fixed_corpus(spark, tmp_path):
 
 ACTIONS = [
     "compact", "expire", "vacuum", "redeliver", "resume", "derived",
-    "rollback", "none",
+    "rollback", "gc_tombstones", "none",
 ]
 
 
@@ -306,6 +306,11 @@ def test_lifecycle_chaos_matches_fold_oracle(spark, tmp_path_factory, log):
             pipe = mk_pipe()
         elif act == "derived":
             d.refresh()
+        elif act == "gc_tombstones":
+            # low watermark = end of this epoch's consumed seq range: every
+            # event at or below it has been delivered, so the purge must be
+            # invisible to all later epochs, re-deliveries, and reads
+            pipe.table.purge_tombstones(horizon_seq=(e + 1) * per_epoch - 1)
 
     got = (
         pipe.table.read()
