@@ -718,6 +718,91 @@ HAVING count(*) > (
 """
 
 
+def q41_asof_join(spark, sf):
+    """Two-table AS-OF join — each event matched to the customer's latest
+    order at or before the event's day (the canonical point-in-time
+    enrichment: trades×quotes, events×prices, facts×SCD snapshots). Spark
+    has no native ASOF; the oracle is DuckDB's native ``ASOF LEFT JOIN``,
+    so two entirely different algorithms must agree row for row.
+
+    Plan — the scalable union+window technique, NOT a range join: tag both
+    sides, union them, and take ``last(order_cols, ignorenulls=True)``
+    over (key ORDER BY day, side) with side ordering orders before events
+    on equal days (inclusive >=). ONE exchange on the key, rows stay
+    LINEAR (|L|+|R|). The naive equi-join + date filter + max-window plan
+    materializes every (event, earlier-order) pair first — O(|L|·|R|) per
+    key, quadratic on a hot key at 100 TB; a broadcast-range join has the
+    same blowup. Orders are pre-deduped to one row per (custkey, day) —
+    max o_orderkey wins — which both makes ASOF ties well-defined
+    cross-engine and bounds the window state.
+
+    Event days are folded deterministically onto the order-date domain
+    (sf events span one month, orders six years) so matches actually
+    interleave and the equal-day boundary is exercised, identically in
+    both engines."""
+    ev = table(spark, sf, "events").select(
+        "event_id",
+        F.col("user_id"),
+        F.expr(
+            "date_add(DATE'1995-01-01', CAST(day(ts) * 73 AS INT))"
+        ).alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("bigint").alias("ok"),
+        F.lit(None).cast("double").alias("tp"),
+    )
+    od = (
+        table(spark, sf, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.to_date("o_orderdate").alias("t"),
+        )
+        .agg(
+            F.max("o_orderkey").alias("ok"),
+            F.max_by("o_totalprice", "o_orderkey").alias("tp"),
+        )
+        .select(
+            F.lit(None).cast("bigint").alias("event_id"),
+            "user_id", "t", F.lit(0).alias("side"), "ok", "tp",
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    u = ev.unionByName(od)
+    return (
+        u.select(
+            "event_id", "user_id", "side",
+            # surface convention: dates cross the oracle hash as strings
+            F.date_format("t", "yyyy-MM-dd").alias("asof_day"),
+            F.last("ok", ignorenulls=True).over(w).alias("o_orderkey"),
+            F.round(F.last("tp", ignorenulls=True).over(w), 2).alias("o_totalprice_r"),
+        )
+        .where(F.col("side") == 1)
+        .drop("side")
+    )
+
+
+Q41_SQL = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(DATE '1995-01-01' + INTERVAL (datepart('day', ts) * 73) DAY AS DATE) AS asof_day
+  FROM events
+),
+o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         max(o_orderkey) AS o_orderkey,
+         max_by(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY o_custkey, CAST(o_orderdate AS DATE)
+)
+SELECT e.event_id, e.user_id, strftime(e.asof_day, '%Y-%m-%d') AS asof_day,
+       o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice_r
+FROM e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.asof_day >= o.d
+"""
+
+
 QUERIES = {
     "q1_scan_filter": q1_scan_filter,
     "q2_join_orders_customer": q2_join_orders_customer,
@@ -746,6 +831,7 @@ QUERIES = {
     "q31_scd2_history": q31_scd2_history,
     "q32_range_frame_window": q32_range_frame_window,
     "q33_scalar_subquery": q33_scalar_subquery,
+    "q41_asof_join": q41_asof_join,
 }
 
 ORACLES = {
@@ -776,4 +862,5 @@ ORACLES = {
     "q31_scd2_history": Q31_SQL,
     "q32_range_frame_window": Q32_SQL,
     "q33_scalar_subquery": Q33_SQL,
+    "q41_asof_join": Q41_SQL,
 }

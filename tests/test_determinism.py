@@ -75,6 +75,55 @@ def test_no_forced_broadcast_in_scaling_relational_queries():
         assert "broadcast(c)" not in src, fn.__name__
 
 
+def test_asof_join_boundary_semantics(spark, tmp_path):
+    """q41 handcrafted boundaries: equal-day order matches (inclusive >=),
+    an event before any order is a NULL left-join row, two orders on one
+    day dedup to max o_orderkey, and the latest earlier day wins. Also
+    pins the plan: ONE exchange, no join operator at all (the union+window
+    formulation never materializes event x order pairs)."""
+    import pandas as pd
+
+    from foundry_es_spark.queries.relational import q41_asof_join
+
+    # day(ts)=d folds to asof_day = 1995-01-01 + 73*d
+    def ev(eid, uid, d):
+        return dict(event_id=eid, ts=pd.Timestamp(f"2024-01-{d:02d}"),
+                    user_id=uid, event_type="x", value=0.0, props="{}")
+
+    def od(ok, cust, date, price):
+        return dict(o_orderkey=ok, o_custkey=cust, o_orderstatus="F",
+                    o_totalprice=price, o_orderdate=pd.Timestamp(date),
+                    o_orderpriority="1")
+
+    d1 = "1995-03-15"  # = fold(day=1)
+    events = pd.DataFrame([
+        ev(1, 7, 1),   # equal-day boundary: order exactly on 1995-03-15
+        ev(2, 8, 1),   # no order at or before -> null match
+        ev(3, 9, 2),   # two candidate days; the later one wins
+        ev(4, 9, 1),   # same-day order pair: max orderkey wins
+    ])
+    orders = pd.DataFrame([
+        od(100, 7, d1, 10.0),
+        od(200, 8, "1999-01-01", 20.0),        # after every event of u8
+        od(300, 9, d1, 30.0),
+        od(301, 9, d1, 31.0),                   # same-day duplicate
+        od(400, 9, "1995-04-01", 40.0),          # between fold(1) and fold(2)
+    ])
+    # Spark can't read TIMESTAMP(NANOS) parquet — write microsecond units
+    events.to_parquet(tmp_path / "events.parquet", coerce_timestamps="us")
+    orders.to_parquet(tmp_path / "orders.parquet", coerce_timestamps="us")
+
+    rows = {r["event_id"]: r for r in q41_asof_join(spark, str(tmp_path)).collect()}
+    assert rows[1]["o_orderkey"] == 100 and rows[1]["asof_day"] == d1
+    assert rows[2]["o_orderkey"] is None and rows[2]["o_totalprice_r"] is None
+    assert rows[3]["o_orderkey"] == 400  # latest day <= fold(2) wins
+    assert rows[4]["o_orderkey"] == 301  # same-day dedup: max orderkey
+
+    plan = q41_asof_join(spark, str(tmp_path))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # agg + window share the key
+    assert "Join" not in plan, plan  # union+window: no pairwise materialization
+
+
 def test_repetition_and_domain_cap_plan_shapes(spark):
     """text_repetition_topgram: the per-doc histogram max is a run-length
     fold over a sorted gram array — NO exchange, no Python, the filter runs
