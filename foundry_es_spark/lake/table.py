@@ -343,8 +343,73 @@ class LakeTable:
                 names.append("_gen")
                 return pa.table(dict(zip(names, cols)))
 
+            def fold_patches(tbl, neq_np):
+                """Deferred partial-update resolution (patch_resolve='merge',
+                the Paimon partial-update merge-engine shape): the sorted
+                run for a key may interleave full images (I/U/D) with
+                sparse ``_op='P'`` delta rows whose unset columns are null.
+                Result per run: the LAST full image, with each payload
+                column overridden by the last non-null value among the P
+                rows AFTER it; a run with no full image anywhere is an
+                orphan patch (key never existed) and drops; patches after a
+                D are no-ops (the tombstone row survives as-is). All
+                segmented scans are O(n) numpy passes over the sorted
+                table — no per-key Python."""
+                import numpy as np
+
+                n = tbl.num_rows
+                ops = tbl.column("_op").to_numpy(zero_copy_only=False)
+                is_p = ops == "P"
+                idx = np.arange(n)
+                first = np.empty(n, dtype=bool)
+                first[0] = True
+                if n > 1:
+                    first[1:] = neq_np
+                rs = np.maximum.accumulate(np.where(first, idx, 0))
+                gm = np.maximum.accumulate(np.where(~is_p, idx, -1))
+                i0 = np.where(gm >= rs, gm, -1)  # last full image in run, so far
+                last = np.empty(n, dtype=bool)
+                last[-1] = True
+                if n > 1:
+                    last[:-1] = neq_np
+                k_idx = idx[last]
+                i0k = i0[k_idx]
+                alive = i0k != -1  # orphan runs (pure-P) drop
+                k_idx, i0k = k_idx[alive], i0k[alive]
+                base_d = ops[i0k] == "D"
+                names, cols = [], []
+                for name in (*cur_names, "_seq", "_op"):
+                    col = tbl.column(name)
+                    if name in key_cols:
+                        take = k_idx
+                    elif name == "_seq":
+                        # D keeps its own seq (post-D patches are no-ops,
+                        # same as resolve-at-write dropping them pre-sink);
+                        # otherwise the run's latest row's seq wins
+                        take = np.where(base_d, i0k, k_idx)
+                    elif name == "_op":
+                        out_ops = np.where(
+                            base_d, "D", np.where(k_idx != i0k, "U", ops[k_idx])
+                        )
+                        names.append(name)
+                        cols.append(pa.array(out_ops, type=pa.string()))
+                        continue
+                    else:
+                        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+                        gcm = np.maximum.accumulate(
+                            np.where(valid & is_p, idx, -1)
+                        )
+                        j = gcm[k_idx]
+                        use_patch = (~base_d) & (j > i0k)  # j>i0 ⇒ same run
+                        take = np.where(use_patch, j, i0k)
+                    names.append(name)
+                    cols.append(col.take(pa.array(take)))
+                return pa.table(dict(zip(names, cols)))
+
             def dedup(parts):
-                """Sort by (key, _seq, _gen), keep each key run's last row."""
+                """Sort by (key, _seq, _gen), keep each key run's last row;
+                runs containing sparse patch rows fold column-wise
+                (:func:`fold_patches`)."""
                 tbl = pa.concat_tables(parts).combine_chunks()
                 n = tbl.num_rows
                 if n == 0:
@@ -352,9 +417,10 @@ class LakeTable:
                 order = [(k, "ascending") for k in key_cols] + [
                     ("_seq", "ascending"), ("_gen", "ascending"),
                 ]
-                tbl = tbl.take(pc.sort_indices(tbl, sort_keys=order))
+                tbl = tbl.take(pc.sort_indices(tbl, sort_keys=order)).combine_chunks()
                 if n == 1:
                     mask = pa.array([True])
+                    neq_np = None
                 else:
                     neq = None
                     for k in key_cols:
@@ -363,7 +429,14 @@ class LakeTable:
                         neq = d if neq is None else pc.or_(neq, d)
                     neq = neq.combine_chunks() if isinstance(neq, pa.ChunkedArray) else neq
                     mask = pa.concat_arrays([neq, pa.array([True])])
-                out = tbl.filter(mask).drop(["_gen"])
+                    neq_np = neq.to_numpy(zero_copy_only=False)
+                if pc.any(pc.equal(tbl.column("_op"), "P")).as_py():
+                    # patch rows present: column-wise fold (one numpy pass
+                    # per column); the patch-free fast path below is
+                    # untouched for every other table
+                    out = fold_patches(tbl, neq_np)
+                else:
+                    out = tbl.filter(mask).drop(["_gen"])
                 if gc_below is not None:
                     # Tombstone GC (fused-compaction mode only): the merged
                     # row is the key's LATEST state and every older
@@ -739,6 +812,63 @@ class LakeTable:
                 [], _fields_to_struct(self.schema_fields(rec), with_sys=False)
             )
         return df.where(F.col("_op") != "D").select(*names)
+
+    def export_snapshot(self, out_dir: str, version: int | None = None) -> dict:
+        """Publish an immutable, self-describing copy of the table's live
+        rows as PLAIN parquet + ``_MANIFEST.json`` — the handoff artifact a
+        training run / downstream consumer reads without this engine:
+        decoupled from table maintenance (later vacuum/expiry/GC cannot
+        touch it) and pinned to a source version for provenance.
+
+        Write protocol: data files land under a temp dir that is atomically
+        renamed to ``out_dir`` (a crashed export leaves no half-published
+        snapshot; re-export is idempotent — same version, same row set).
+        The manifest carries the source table dir + version, the schema,
+        per-file row counts (summed driver-side from parquet footers — no
+        counting job), and the total. Scale shape: the read is the MoR
+        bucket-local merge (no exchange); the writer streams straight out.
+        Iceberg twin: ``CREATE TABLE export AS SELECT * FROM t VERSION AS
+        OF v`` or a registered snapshot-ref — here restated for plain
+        parquet consumers."""
+        import json as _json
+
+        import pyarrow.parquet as _pq
+
+        rec = (
+            self._current()
+            if version is None
+            else commitlog.read_commit(self.table_dir, version)
+        )
+        src_version = rec["version"]
+        df = (
+            self.read() if version is None else self.read_at_version(src_version)
+        )
+        tmp = f"{out_dir.rstrip('/')}._staging"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        df.write.mode("errorifexists").parquet(tmp)
+        files, total = [], 0
+        for fn in sorted(os.listdir(tmp)):
+            if fn.endswith(".parquet"):
+                n = _pq.ParquetFile(os.path.join(tmp, fn)).metadata.num_rows
+                files.append({"file": fn, "rows": n})
+                total += n
+        manifest = {
+            "source_table": os.path.abspath(self.table_dir),
+            "source_version": src_version,
+            "schema": [
+                {"id": f.id, "name": f.name, "type": f.type}
+                for f in self.schema_fields(rec)
+            ],
+            "rows": total,
+            "files": files,
+        }
+        with open(os.path.join(tmp, "_MANIFEST.json"), "w") as fh:
+            _json.dump(manifest, fh, indent=1)
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        os.rename(tmp, out_dir)
+        return {"rows": total, "files": len(files), "source_version": src_version}
 
     def rollback(self, version: int) -> int:
         """Iceberg ``rollback_to_snapshot`` parity: restore the table to

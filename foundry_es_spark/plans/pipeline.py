@@ -230,6 +230,24 @@ class PipelineConfig:
                                      # fold shape (fused/sorted sink disabled);
                                      # incompatible with suppress_no_ops (content
                                      # digest can't witness non-content patches).
+    patch_resolve: str = "write"     # WHERE net-'P' keys resolve against the base
+                                     # image. "write" (default): per epoch, via a
+                                     # bucket-pruned selective read + broadcast join
+                                     # — full rows on disk, exact n_orphan_patches
+                                     # lineage, change feed carries full images; cost
+                                     # O(touched-bucket data) per epoch, which
+                                     # degrades to O(table) when patches spread
+                                     # key-uniformly (measured 2.3-3.3x epoch wall on
+                                     # the uniform bench stream). "merge": DEFER to
+                                     # the bucket-local MoR merge (the Paimon
+                                     # partial-update merge engine shape) — sparse P
+                                     # rows land as delta rows, every reader folds
+                                     # them column-wise (lake/table.py fold_patches);
+                                     # write path is O(batch) regardless of patch
+                                     # spread, orphans drop silently at read (no
+                                     # lineage count), and change-feed consumers see
+                                     # sparse P rows (full-image consumers need
+                                     # "write").
     backend: object | None = None    # injected TableBackend (S5 seam, SURVEY §4.4).
                                      # None = LocalLakeBackend (LakeTable) built from
                                      # table_dir. Pass an IcebergBackend to run the
@@ -259,6 +277,16 @@ class CdcPipeline:
                 "patch_ops is incompatible with suppress_no_ops: C3 compares "
                 "content digests, which cannot witness a patch that changed "
                 "only non-content columns — it would wrongly suppress it"
+            )
+        if config.patch_resolve not in ("write", "merge"):
+            raise ValueError(
+                f"patch_resolve must be 'write' or 'merge', got {config.patch_resolve!r}"
+            )
+        if config.patch_resolve == "merge" and config.merge_mode != "mor":
+            raise ValueError(
+                "patch_resolve='merge' defers resolution to the MoR merge; "
+                "merge_mode='cow' rewrites full rows per epoch and must "
+                "resolve at write"
             )
 
     # ------------------------------------------------------------- table
@@ -378,7 +406,20 @@ class CdcPipeline:
             *[F.col(c).alias(f"_st_{c}") for c in pay],
             F.lit(True).alias("_hit"),
         )
-        joined = patches.join(st, on=list(KEY_COLS), how="left")
+        # Join topology (measured 3.3x epoch cost when naive): a plain
+        # patches LEFT JOIN stored is a sort-merge join that SHUFFLES the
+        # touched buckets' full payload (content included) every epoch —
+        # O(stored) movement for O(patches) work. Instead: (1) semi-reduce
+        # the stored side to the patched keys with a BROADCAST of the bare
+        # keys (stored never moves — the semi join runs inside its scan
+        # tasks), then (2) broadcast the reduced stored rows (<= one per
+        # patch) into the left join, so the patch side never shuffles
+        # either. Both broadcasts are bounded by the epoch's patch count,
+        # which the epoch's own event count bounds in turn — epochs are
+        # micro-batches, the table is not.
+        keys = patches.select(*KEY_COLS)
+        st = st.join(F.broadcast(keys), on=list(KEY_COLS), how="leftsemi")
+        joined = patches.join(F.broadcast(st), on=list(KEY_COLS), how="left")
         pobs = Observation()
         joined = joined.observe(
             pobs,
@@ -553,11 +594,14 @@ class CdcPipeline:
         table.evolve_for_batch(T.StructType(payload_fields), self.cfg.rename_map)
 
         patch_obs = None
-        if self.cfg.patch_ops:
+        if self.cfg.patch_ops and self.cfg.patch_resolve == "write":
             # C2 patch resolution: keys whose base image lives in an
             # EARLIER epoch (net op 'P') coalesce their unset columns from
             # the stored row — BEFORE enhancement, so derived columns
             # (digest, DATS) recompute over the resolved full row.
+            # (patch_resolve='merge' skips this entirely: net-P rows land
+            # as sparse delta rows and every bucket-local merge folds them
+            # column-wise — no stored read in the epoch at all.)
             compacted, patch_obs = self._resolve_patches(table, valid, compacted)
 
         # T1/T2/T3 — enhancement on the compacted survivors only (far

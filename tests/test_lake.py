@@ -265,6 +265,42 @@ def test_compact_and_vacuum(spark, tmp_table):
     assert removed >= 1
 
 
+def test_export_snapshot_manifest_and_time_travel(spark, tmp_table, tmp_path):
+    """export_snapshot publishes live rows as plain parquet + _MANIFEST
+    (atomic rename, no half-published dir): plain spark.read gets exactly
+    the table's live rows with no engine involved; the manifest row count
+    and source version are exact; exporting an OLD version equals
+    read_at_version; re-export over the same dir is idempotent."""
+    import json
+    import os
+
+    t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=4)
+    t.merge_upsert(_batch(spark, [("r1", "a", "c0", "py", "v0", 0, "I"),
+                                  ("r2", "b", "c0", "py", "x0", 1, "I")]))
+    v1 = t._current()["version"]
+    t.merge_upsert(_batch(spark, [("r2", "b", None, None, None, 2, "D"),
+                                  ("r3", "c", "c0", "py", "y0", 3, "I")]))
+
+    out = str(tmp_path / "snap")
+    stats = t.export_snapshot(out)
+    got = sorted((r.repo, r.path, r.content) for r in spark.read.parquet(out).collect())
+    assert got == sorted((r.repo, r.path, r.content) for r in t.read().collect())
+    m = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert m["rows"] == stats["rows"] == len(got) == 2  # tombstone excluded
+    assert m["source_version"] == t._current()["version"]
+    assert not os.path.isdir(out + "._staging")
+
+    # time-travel export: pre-delete version still contains r2/b
+    out_old = str(tmp_path / "snap_v1")
+    t.export_snapshot(out_old, version=v1)
+    old = {(r.repo, r.path) for r in spark.read.parquet(out_old).collect()}
+    assert old == {("r1", "a"), ("r2", "b")}
+
+    # idempotent overwrite
+    stats2 = t.export_snapshot(out)
+    assert stats2["rows"] == stats["rows"]
+
+
 def test_purge_tombstones_respects_low_watermark(spark, tmp_table):
     """Tombstone GC: D rows at seq <= horizon are dropped by the fused
     compaction rewrite; newer tombstones survive (still needed against
