@@ -260,10 +260,12 @@ class IncrementalDedupPipeline:
                 .agg(F.max_by(payload, F.col("_seq")).alias("r"))
                 .select(*_A, "r._op", f"r.{self.cfg.text_col}")
             )
-            victims = [
-                (r[0], r[1])
-                for r in latest.select(*_A).limit(self.cfg.max_delta_keys + 1).collect()
-            ]
+            vic_rows = (
+                latest.select(*_A, "_op")
+                .limit(self.cfg.max_delta_keys + 1)
+                .collect()
+            )
+            victims = [(r[0], r[1]) for r in vic_rows]
         except SnapshotExpired:
             return self._full_rebuild(src_cur)
         if not victims:
@@ -271,6 +273,27 @@ class IncrementalDedupPipeline:
             return {"refreshed": True, "cursor": src_cur, "keys": 0}
         if len(victims) > self.cfg.max_delta_keys:
             return self._full_rebuild(src_cur)
+
+        patch_keys = [(r[0], r[1]) for r in vic_rows if r["_op"] == "P"]
+        if patch_keys:
+            # Source pipeline runs patch_resolve='merge': the feed's delta
+            # rows are SPARSE — a net-'P' key's feed image may carry null
+            # (or stale-partial) text. Resolve those keys' TRUE content
+            # from the snapshot read (which folds patches), bucket/bounds/
+            # kfp-pruned to the patched repos — bounded by max_delta_keys,
+            # never a table scan. Orphan patches (key never existed) drop
+            # in the inner join: correctly no signature change.
+            snap = (
+                self.source.read(repos=sorted({k[0] for k in patch_keys}))
+                .select(*_A, self.cfg.text_col)
+            )
+            latest = latest.where(F.col("_op") != "P").unionByName(
+                latest.where(F.col("_op") == "P")
+                .drop(self.cfg.text_col)
+                .join(snap, on=_A, how="inner")
+                .withColumn("_op", F.lit("U"))
+                .select(*_A, "_op", self.cfg.text_col)
+            )
 
         victim_repos = sorted({v[0] for v in victims})
         changed = latest.where(F.col("_op") != "D").drop("_op")

@@ -71,6 +71,55 @@ def _canon(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def test_merge_mode_patch_feed_resolves_content_from_snapshot(spark, tmp_path):
+    """Source pipeline with patch_resolve='merge': the change feed carries
+    SPARSE net-'P' rows (a trailing lang-only patch has NULL content). The
+    maintainer must resolve those keys' true content from the snapshot —
+    signing the sparse feed image would silently corrupt signatures. Also:
+    a content patch that CREATES a near-dup pair must be discovered, and
+    an orphan patch must be a no-op."""
+    tmp = str(tmp_path)
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(pipeline_id="src", table_dir=f"{tmp}/src", n_buckets=4,
+                       normalize=False, patch_ops=True, patch_resolve="merge"),
+    )
+    dd = IncrementalDedupPipeline(
+        spark,
+        pipe.table,
+        DedupMaintainConfig(name="nd", sig_dir=f"{tmp}/sigs",
+                            pairs_dir=f"{tmp}/pairs", n_buckets=4),
+    )
+    pipe.apply_epoch(_events(spark, [
+        (0, "I", "r1", "a", BASE),
+        (1, "I", "r2", "b", OTHER),
+    ]), 0)
+    dd.refresh()
+    _assert_equiv(dd)
+    assert _canon(dd.pairs()) == []  # no dups yet
+
+    # epoch 1: content patch turns OTHER into VAR1 (creates the BASE pair);
+    # a lang-only patch on r1/a leaves its content untouched (feed row has
+    # null content — the regression target); an orphan patch no-ops.
+    ev = spark.createDataFrame(
+        [
+            (10, "P", "r2", "b", None, None, VAR1),
+            (11, "P", "r1", "a", None, "rust", None),
+            (12, "P", "r9", "zz", None, "xx", None),
+        ],
+        "seq long, op string, repo string, path string, commit string, lang string, content string",
+    ).select(
+        "seq", F.timestamp_millis(F.col("seq") * 10).alias("ts"), "op",
+        "repo", "path", "commit", "lang", "content",
+        F.pmod(F.xxhash64("repo"), F.lit(4)).alias("part"),
+    )
+    pipe.apply_epoch(ev, 1)
+    dd.refresh()
+    _assert_equiv(dd)
+    got = _canon(dd.pairs().select("repo", "path", "o_repo", "o_path"))
+    assert got == [("r1", "a", "r2", "b")]  # the patched content created the pair
+
+
 def _batch_reference(dd):
     snap = dd.source.read()
     return discover_pairs(dd._sign(snap), dd._shingled(snap), dd.cfg.jaccard_threshold)

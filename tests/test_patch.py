@@ -219,6 +219,24 @@ def test_patch_resolve_merge_epoch_has_no_stored_read(spark, tmp_path):
     assert row["content_sha256"] is not None  # base digest survived the fold
 
 
+def test_patch_fold_survives_ranged_merge(spark, tmp_path, monkeypatch):
+    """merge-mode patches through the bounded-memory RANGED merge: forcing
+    merge_range_target_bytes=1 makes every bucket merge range-by-range;
+    ranges partition the key space, so the per-range fold must see each
+    key's full run — the folded state must equal the whole-bucket path."""
+    from foundry_es_spark.lake import LakeTable
+
+    pipe = _pipe(spark, tmp_path, name="rng", patch_resolve="merge")
+    ev = _patched_events(spark, n_events=1500, n_keys=120)
+    for e, (lo, hi) in enumerate([(0, 750), (750, 1500)]):
+        pipe.apply_epoch(ev.where((F.col("seq") >= lo) & (F.col("seq") < hi)), e)
+    cols = ["repo", "path", "commit", "lang", "content", "content_sha256"]
+    whole = sorted(tuple(r) for r in pipe.table.read().select(cols).collect())
+    monkeypatch.setattr(LakeTable, "merge_range_target_bytes", 1)
+    ranged = sorted(tuple(r) for r in pipe.table.read().select(cols).collect())
+    assert whole == ranged
+
+
 def test_patch_resolve_config_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="patch_resolve"):
         _pipe(spark, tmp_path, name="bad1", patch_resolve="defer")
