@@ -44,6 +44,43 @@ def test_streaming_equals_batch_and_oracle(spark, tmp_path):
     pd.testing.assert_frame_equal(_state(batch_pipe), expected)
 
 
+def test_streaming_patch_merge_equals_batch_and_oracle(spark, tmp_path):
+    """Streaming ingest of a PATCH stream with deferred resolution
+    (patch_resolve='merge'): the foreachBatch epochs chunk the patches at
+    trigger boundaries (cross-trigger bases), and the folded state must
+    equal both the batch replay and the row-at-a-time patch fold oracle."""
+    from foundry_es_spark.fixtures import as_patch_events
+    from foundry_es_spark.oracle import fold_events_patch
+
+    events = as_patch_events(
+        gen_change_events(spark, n_events=3000, n_keys=250, lines_mod=20)
+    )
+    ev_dir = str(tmp_path / "events")
+    write_event_log(events, ev_dir, epoch_size=600)
+
+    cfg = dict(patch_ops=True, patch_resolve="merge")
+    stream_pipe = CdcPipeline(
+        spark,
+        PipelineConfig(pipeline_id="sp", table_dir=str(tmp_path / "t_stream"), **cfg),
+    )
+    run_stream(
+        spark, stream_pipe, ev_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=6, await_termination=True,
+    )
+
+    batch_pipe = CdcPipeline(
+        spark,
+        PipelineConfig(pipeline_id="bp", table_dir=str(tmp_path / "t_batch"), **cfg),
+    )
+    batch_pipe.replay_event_dir(ev_dir)
+
+    expected = fold_events_patch(events.toPandas())[
+        ["repo", "path", "commit", "lang", "content_sha256"]
+    ].reset_index(drop=True)
+    pd.testing.assert_frame_equal(_state(stream_pipe), expected, check_dtype=False)
+    pd.testing.assert_frame_equal(_state(batch_pipe), expected, check_dtype=False)
+
+
 def test_streaming_resume_from_checkpoint(spark, tmp_path):
     """Write half the log, stream it, then append the rest and resume from
     the same checkpoint: no dup, no loss (C6)."""
