@@ -184,6 +184,18 @@ def ann_recall(spark, sf: str, n_queries: int = 20, k: int = 5) -> dict:
         ),
         exact,
     )
+    # IVF-PQ: per n_probe (cell-coverage loss) plus a full-probe row that
+    # isolates the PQ/ADC shortlist loss alone
+    out["ivf_pq"] = {}
+    for n_probe in (2, 4, 8):
+        approx = _topk_sets(
+            S.ann_ivf_pq(spark, sf, n_queries=n_queries, k=k, n_probe=n_probe)
+        )
+        out["ivf_pq"][f"n_probe={n_probe}"] = _recall_at_k(approx, exact)
+    out["ivf_pq"]["n_probe=8,refine=8"] = _recall_at_k(
+        _topk_sets(S.ann_ivf_pq(spark, sf, n_queries=n_queries, k=k, n_probe=8, refine=8)),
+        exact,
+    )
     return out
 
 

@@ -380,6 +380,56 @@ def test_ann_plans_have_no_corpus_side_shuffle(spark):
         assert hash_exchanges == 1, (fn.__name__, hash_exchanges, plan)
 
 
+def test_ivf_pq_codes_determinism_recall_and_plan(spark):
+    """IVF-PQ (the billion-scale ANN topology): PQ codebooks train on a
+    bounded deterministic sample, codes are M tinyints < KS, output is
+    identical under any corpus partitioning, full-probe recall@5 vs exact
+    bruteforce clears the measured floor (0.84 on structureless-uniform
+    embeddings — PQ's worst case), and the corpus side never shuffles:
+    the single hashpartitioning Exchange is the per-query top-k, fed by a
+    partial WindowGroupLimit so only shortlist rows ship."""
+    import re
+
+    from foundry_es_spark.queries.common import table
+    from foundry_es_spark.queries.similarity import (
+        PQ_KS,
+        PQ_M,
+        _pq_encode_col,
+        ann_bruteforce_topk,
+        ann_ivf_pq,
+        pq_train,
+    )
+
+    e = table(spark, SF, "embeddings")
+    books = pq_train(e)
+    assert len(books) == PQ_M and all(len(b) <= PQ_KS for b in books)
+    codes = (
+        e.select(_pq_encode_col(books)(e.embedding).alias("pq")).limit(20).collect()
+    )
+    for r in codes:
+        assert len(r["pq"]) == PQ_M
+        assert all(0 <= c < PQ_KS for c in r["pq"])
+
+    base = {(r["q_id"], r["n_id"]) for r in ann_ivf_pq(spark, SF).collect()}
+    rep = {
+        (r["q_id"], r["n_id"])
+        for r in ann_ivf_pq(spark, SF, e=e.repartition(7)).collect()
+    }
+    assert base == rep and len(base) == 25
+
+    bf = {(r["q_id"], r["n_id"]) for r in ann_bruteforce_topk(spark, SF).collect()}
+    full = {
+        (r["q_id"], r["n_id"])
+        for r in ann_ivf_pq(spark, SF, n_probe=8).collect()
+    }
+    assert len(bf & full) / len(bf) >= 0.75  # measured 0.84; FP headroom
+
+    plan = ann_ivf_pq(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "WindowGroupLimit" in plan and "BroadcastHashJoin" in plan
+    assert plan.count("ArrowEvalPython") == 1  # the PQ encoder, once
+
+
 def test_dedup_cluster_chains_transitively(spark, tmp_path):
     """A~B and B~C on DIFFERENT shared chunks must land in ONE cluster
     (the reason the CC pass exists), exact dups of sub-chunk docs cluster
