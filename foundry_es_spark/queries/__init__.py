@@ -56,8 +56,11 @@ _BOARD_PRIORITY = [
     "text_fingerprint", "text_lang_id", "text_lang_confusion",
     "text_gopher_filter", "text_repetition_topgram", "text_chunk_windows",
     "text_decontaminate", "text_tfidf_topk",
-    # multimodal + corpus curation
-    "multimodal_features", "corpus_domain_cap", "corpus_mix_budget",
+    # multimodal + corpus curation (corpus_curate_e2e composes gopher
+    # filter -> exact dedup -> decontamination -> domain cap, so one board
+    # row witnesses all four stages)
+    "multimodal_features", "corpus_curate_e2e", "corpus_domain_cap",
+    "corpus_mix_budget",
 ]
 
 

@@ -577,6 +577,146 @@ GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
 """
 
 
+def corpus_curate_e2e(spark, sf, cap: int = 40, k: int = 13, eval_mod: int = 10):
+    """END-TO-END corpus curation — the composed pipeline a pre-training
+    data run actually executes, as ONE declarative plan: Gopher quality
+    filter → exact dedup (min-doc_id representative per sha256) → eval
+    holdout + 13-gram decontamination → per-source domain cap. Output is
+    the curated corpus manifest (doc_id, source, lang, n_tokens, rk).
+    Each stage reuses the standalone operator's exact expressions
+    (text_gopher_filter / dedup_exact_keep_first / text_decontaminate /
+    corpus_domain_cap), so the composition's oracle is a CTE chain of the
+    per-stage oracles — the whole pipeline is cross-engine exact.
+
+    Scale shape: one corpus scan feeds the quality filter (scan-bandwidth
+    predicate, integer basis points); dedup is the single unavoidable
+    full-corpus exchange (hash of content); the eval gram set comes from a
+    second PRUNED scan (doc_id % eval_mod pushdown) and is BROADCAST, so
+    the surviving training side never shuffles for decontamination; the
+    contaminated-id anti-join is AQE-sized (rare side); the domain cap's
+    row_number()<=cap rewrites to a partial WindowGroupLimit below its
+    exchange. Net: 100 TB in, two wide exchanges total (dedup, cap), both
+    over already-reduced data."""
+    from foundry_es_spark.queries.textstats import decon_grams, decon_tokens
+
+    d = table(spark, sf, "documents")
+    text = F.col("text")
+    tokens = F.split(F.trim(text), r"\s+")
+    lines = F.split(text, "\n")
+    n_tokens = F.size(tokens).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    n_chars = F.greatest(F.length(text).cast("bigint"), F.lit(1))
+    n_alpha_tok = F.size(F.filter(tokens, lambda w: w.rlike("[a-zA-Z]"))).cast("bigint")
+    n_bullet = F.size(F.filter(lines, lambda line: line.rlike(r"^\s*[-*]"))).cast("bigint")
+    n_distinct_lines = F.size(F.array_distinct(lines)).cast("bigint")
+    keep = (
+        n_tokens.between(5, 10000)
+        & F.floor(n_chars * 100 / n_tokens).between(150, 1200)
+        & (F.floor(n_alpha_tok * 10000 / n_tokens) >= 6000)
+        & (F.floor(n_bullet * 10000 / n_lines) <= 9000)
+        & (F.floor(n_distinct_lines * 10000 / n_lines) >= 3000)
+    )
+    quality = d.where(keep).select(
+        "doc_id", "source", "lang", "text", n_tokens.alias("n_tokens")
+    )
+    keep_id = F.min("doc_id").over(W.partitionBy(F.sha2(F.col("text"), 256)))
+    unique = quality.withColumn("keep_id", keep_id).where(
+        (F.col("doc_id") == F.col("keep_id")) & (F.col("doc_id") % eval_mod != 0)
+    )
+    # eval grams from the FULL corpus (the benchmark is fixed, independent
+    # of what curation keeps); training grams only from survivors
+    ev = (
+        decon_grams(decon_tokens(d.where(F.col("doc_id") % eval_mod == 0), k), k)
+        .select("g")
+        .distinct()
+    )
+    # Contamination is computed over the PRE-dedup quality training set:
+    # a duplicate's representative carries identical text, hence identical
+    # grams, so it is contaminated iff any of its copies is — the anti-join
+    # result is provably identical, and this branch skips the dedup
+    # window's full-corpus exchange (plan went 5 → 4 hash exchanges, only
+    # ONE of them corpus-wide).
+    contaminated = (
+        decon_grams(
+            decon_tokens(quality.where(F.col("doc_id") % eval_mod != 0), k), k
+        )
+        .join(F.broadcast(ev), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = unique.join(contaminated, "doc_id", "left_anti")
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        clean.select("doc_id", "source", "lang", "n_tokens", rk.alias("rk"))
+        .where(F.col("rk") <= cap)
+        .select(
+            "doc_id", "source", "lang", "n_tokens",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+CURATE_E2E_SQL = r"""
+WITH feat AS (
+  SELECT doc_id, source, lang, text,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         GREATEST(CAST(length(text) AS BIGINT), 1) AS n_chars,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_tok,
+         CAST(len(list_filter(string_split(text, chr(10)),
+                              l -> regexp_matches(l, '^\s*[-*]'))) AS BIGINT) AS n_bullet,
+         CAST(len(list_distinct(string_split(text, chr(10)))) AS BIGINT) AS n_distinct_lines
+  FROM documents
+),
+quality AS (
+  SELECT doc_id, source, lang, text, n_tokens FROM feat
+  WHERE n_tokens BETWEEN 5 AND 10000
+    AND floor(n_chars * 100 / n_tokens) BETWEEN 150 AND 1200
+    AND floor(n_alpha_tok * 10000 / n_tokens) >= 6000
+    AND floor(n_bullet * 10000 / n_lines) <= 9000
+    AND floor(n_distinct_lines * 10000 / n_lines) >= 3000
+),
+uniq AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id FROM quality
+  ) WHERE doc_id = keep_id AND doc_id % 10 <> 0
+),
+evg AS (
+  SELECT DISTINCT unnest(gs) AS g FROM (
+    SELECT [array_to_string(w[i:i+12], ' ') FOR i IN range(1, len(w) - 12 + 1)] AS gs
+    FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents WHERE doc_id % 10 = 0)
+    WHERE len(w) >= 13
+  )
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(gs) AS g FROM (
+      SELECT doc_id,
+             [array_to_string(w[i:i+12], ' ') FOR i IN range(1, len(w) - 12 + 1)] AS gs
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+            FROM uniq)
+      WHERE len(w) >= 13
+    )
+  ) t JOIN evg USING (g)
+),
+clean AS (
+  SELECT * FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT doc_id, source, lang, n_tokens, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT doc_id, source, lang, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM clean
+) WHERE rk <= 40
+"""
+
+
 QUERIES = {
     "q34_sessionize_batch": q34_sessionize_batch,
     "q35_funnel_stages": q35_funnel_stages,
@@ -589,6 +729,7 @@ QUERIES = {
     "q38_distribution_ranks": q38_distribution_ranks,
     "q39_fuzzy_match_blocked": q39_fuzzy_match_blocked,
     "q40_grouping_sets": q40_grouping_sets,
+    "corpus_curate_e2e": corpus_curate_e2e,
 }
 
 ORACLES = {
@@ -603,4 +744,5 @@ ORACLES = {
     "q38_distribution_ranks": Q38_SQL,
     "q39_fuzzy_match_blocked": Q39_SQL,
     "q40_grouping_sets": Q40_SQL,
+    "corpus_curate_e2e": CURATE_E2E_SQL,
 }

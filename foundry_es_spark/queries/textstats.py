@@ -549,6 +549,34 @@ def text_pack_sequences(spark, sf, capacity: int = 96, window: int = 32, stride:
 # ------------------------------------------------- eval decontamination
 
 
+def decon_tokens(d, k: int = 13):
+    """(doc_id, w, n_grams) for decontamination: lower/trim whitespace
+    tokens and the POSITION count of k-grams; docs shorter than k tokens
+    drop (no k-gram exists). Shared by text_decontaminate and the
+    composed corpus_curate_e2e so both sides carry the same plan-trap
+    fixes (see text_decontaminate's docstring)."""
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return d.select(
+        "doc_id", w.alias("w"), (F.size(w) - (k - 1)).cast("bigint").alias("n_grams")
+    ).where(F.col("n_grams") >= 1)
+
+
+def decon_grams(df, k: int = 13):
+    """Explode a token frame from decon_tokens into (doc_id, n_grams, g)
+    k-gram rows. Clamped sequence bound + non-nullable key: both plan
+    traps documented on text_decontaminate."""
+    return df.select(
+        "doc_id",
+        "n_grams",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("w", i + 1, k)),
+            )
+        ).alias("g0"),
+    ).select("doc_id", "n_grams", F.coalesce("g0", F.lit("")).alias("g"))
+
+
 def text_decontaminate(spark, sf, k: int = 13, eval_mod: int = 10):
     """Train/eval decontamination by 13-gram overlap — the standard
     pre-training hygiene pass (flag every training document sharing any
@@ -585,29 +613,13 @@ def text_decontaminate(spark, sf, k: int = 13, eval_mod: int = 10):
       stays out of the scan filter entirely.
     """
     d = table(spark, sf, "documents")
-    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-
-    def _grams(df):
-        return df.select(
-            "doc_id",
-            "n_grams",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0))),
-                    lambda i: F.concat_ws(" ", F.slice("w", i + 1, k)),
-                )
-            ).alias("g0"),
-        ).select("doc_id", "n_grams", F.coalesce("g0", F.lit("")).alias("g"))
-
-    toks = d.select(
-        "doc_id", w.alias("w"), (F.size(w) - (k - 1)).cast("bigint").alias("n_grams")
-    ).where(F.col("n_grams") >= 1)
+    toks = decon_tokens(d, k)
     ev = (
-        _grams(toks.where(F.col("doc_id") % eval_mod == 0))
+        decon_grams(toks.where(F.col("doc_id") % eval_mod == 0), k)
         .select("g")
         .distinct()
     )
-    tr = _grams(toks.where(F.col("doc_id") % eval_mod != 0))
+    tr = decon_grams(toks.where(F.col("doc_id") % eval_mod != 0), k)
     return (
         tr.join(F.broadcast(ev), "g")
         .groupBy("doc_id", "n_grams")

@@ -128,3 +128,65 @@ def test_mix_budget_and_sample_determinism(spark):
     total = sum(r[1] for r in a)
     sampled = sum(r[2] for r in a)
     assert 0.15 < sampled / total < 0.35  # ~25% by construction
+
+
+def test_curate_e2e_stage_semantics_and_plan(spark):
+    """corpus_curate_e2e composes the four standalone curation operators;
+    every kept doc must individually satisfy each stage: passes the Gopher
+    filter, is its content-hash's min-doc_id representative, is non-eval
+    and shares no 13-gram with the eval split, and sits within its
+    source's cap in md5 rank order. Plan: exactly 4 hashpartitioning
+    exchanges — dedup window (the one corpus-wide shuffle), eval-gram
+    distinct, contaminated-id distinct, cap window (WindowGroupLimit
+    partial below it); decon side is a broadcast join."""
+    from foundry_es_spark.queries.analytics import (
+        corpus_curate_e2e,
+        corpus_domain_cap,
+    )
+    from foundry_es_spark.queries.dedup import dedup_exact_keep_first
+    from foundry_es_spark.queries.textstats import (
+        text_decontaminate,
+        text_gopher_filter,
+    )
+
+    kept = {r["doc_id"]: r for r in corpus_curate_e2e(spark, SF).collect()}
+    assert kept, "pipeline kept nothing"
+
+    gopher_ok = {r["doc_id"] for r in text_gopher_filter(spark, SF).collect() if r["keep"]}
+    reps = {r["doc_id"] for r in dedup_exact_keep_first(spark, SF).collect()}
+    contaminated = {r["doc_id"] for r in text_decontaminate(spark, SF).collect()}
+    capped_ranks = {
+        (r["doc_id"]): r["rk"] for r in corpus_domain_cap(spark, SF).collect()
+    }
+    # content-hash groups restricted to the quality set: the kept doc must
+    # be the min-doc_id of its group WITHIN quality (a global representative
+    # that failed the filter passes leadership down)
+    from pyspark.sql import functions as F
+
+    from foundry_es_spark.queries.common import table
+
+    h_rows = (
+        table(spark, SF, "documents")
+        .select("doc_id", F.sha2("text", 256).alias("h"))
+        .collect()
+    )
+    hash_of = {r["doc_id"]: r["h"] for r in h_rows}
+    min_quality_rep: dict = {}
+    for d, h in hash_of.items():
+        if d in gopher_ok:
+            min_quality_rep[h] = min(min_quality_rep.get(h, d), d)
+
+    for doc_id, r in kept.items():
+        assert doc_id in gopher_ok
+        assert min_quality_rep[hash_of[doc_id]] == doc_id
+        assert doc_id % 10 != 0
+        assert doc_id not in contaminated
+        assert r["rk"] <= 40
+    assert reps  # standalone op stays consistent alongside the composition
+
+    plan = (
+        corpus_curate_e2e(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 4, plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # gram join + anti-join
