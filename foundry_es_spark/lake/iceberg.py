@@ -52,7 +52,12 @@ def _ddl(fields: list[tuple[str, str]]) -> str:
 @dataclass
 class IcebergBackend:
     """One Iceberg table addressed as `catalog.db.name`. Single-writer per
-    pipeline (Iceberg's optimistic commit handles cross-writer conflicts)."""
+    pipeline; cross-writer interleaving (another pipeline, the maintenance
+    procedures) is Iceberg's native optimistic commit: appends retry/rebase
+    via the catalog CAS and rewrites fail validation when their input files
+    moved — exactly the contract the local backend reimplements in
+    `lake/table.py:_publish` (`concurrent_writers=True`), so behavior is
+    portable across backends."""
 
     spark: SparkSession
     fqtn: str

@@ -18,6 +18,22 @@ class CommitConflict(Exception):
     """Another writer committed this version first."""
 
 
+class ConcurrentWriteConflict(Exception):
+    """A concurrent commit invalidated this write's read snapshot in a way
+    that cannot be rebased onto the new table state: a bucket this
+    copy-on-write merge rewrote also changed, a compaction's input files
+    were themselves rewritten, or the schema/bucket layout moved. The
+    operation must be re-planned from the current state (it read stale
+    data, so blindly re-committing would lose the concurrent writes).
+    Append-shaped commits never hit this — they rebase automatically."""
+
+
+class EpochAlreadyFenced(ConcurrentWriteConflict):
+    """Another writer fenced this (pipeline_id, epoch_id) while this write
+    was in flight — committing would double-apply the epoch. The staged
+    files are discarded; the epoch is already durable."""
+
+
 class SnapshotExpired(ValueError):
     """The requested version's commit record was removed by
     expire_snapshots — time travel / change feeds below the retention

@@ -135,9 +135,29 @@ class LakeTable:
     # selective-read pruning at a small metadata cost.
     parquet_row_group_rows: int | None = None
 
-    def __init__(self, spark: SparkSession, table_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_dir: str,
+        concurrent_writers: bool = False,
+        writer_grace_sec: float = 60.0,
+    ):
         self.spark = spark
         self.table_dir = table_dir
+        # Multi-writer optimistic concurrency (SURVEY §2.6): every data
+        # write stages under data/.stage-<uuid> and publishes by renaming
+        # to data/c{version} (first-rename-wins reservation) followed by
+        # the atomic log commit; on CommitConflict append-shaped commits
+        # REBASE onto the new head and retry (Iceberg fast-append
+        # semantics), rewrite-shaped commits validate their read set and
+        # raise ConcurrentWriteConflict when it moved. The flag only
+        # changes how an UNCOMMITTED dir already at the target name is
+        # treated: single-writer (default) reclaims it immediately as
+        # crashed-writer debris (exactly today's recovery behavior);
+        # concurrent_writers treats it as in-flight until it is
+        # writer_grace_sec old (zombie reclaim).
+        self.concurrent_writers = concurrent_writers
+        self.writer_grace_sec = writer_grace_sec
 
     # ------------------------------------------------------------------ DDL
 
@@ -201,6 +221,110 @@ class LakeTable:
             "schemas": {k: v for k, v in record["schemas"].items() if k in live},
         }
         commitlog.write_commit(self.table_dir, record)
+
+    # ------------------------------------------- optimistic publish (OCC)
+
+    @staticmethod
+    def _fence_covers(fences: dict, pipeline_id: str, epoch_id: int) -> bool:
+        f = fences.get(pipeline_id)
+        if not f:
+            return False
+        return int(epoch_id) <= f.get("max_epoch", -1) or int(epoch_id) in set(
+            f.get("extra", [])
+        )
+
+    def _stage_rel(self) -> str:
+        """Reserve a collision-free staging dir for a data write. Staged
+        dirs are invisible to readers (only committed file lists are read)
+        and reclaimed by vacuum() if their writer dies."""
+        import uuid
+
+        rel = f"data/.stage-{uuid.uuid4().hex[:16]}"
+        os.makedirs(os.path.join(self.table_dir, rel), exist_ok=True)
+        return rel
+
+    def _may_reclaim(self, path: str) -> bool:
+        """May an UNCOMMITTED dir occupying a target version slot be
+        deleted? Single-writer mode: yes — versions only advance on log
+        commit, so it is crashed-writer debris (the historical recovery
+        contract). Concurrent mode: only once it is writer_grace_sec old
+        (a younger dir is presumed in-flight; its writer will commit or
+        rebase away within the grace)."""
+        if not self.concurrent_writers:
+            return True
+        import time as _time
+
+        try:
+            return _time.time() - os.path.getmtime(path) > self.writer_grace_sec
+        except OSError:
+            return True  # vanished: slot is free
+
+    @staticmethod
+    def _reprefix(files: list[dict], staged_rel: str, final_rel: str) -> list[dict]:
+        return [
+            {**f, "path": final_rel + f["path"][len(staged_rel):]}
+            if f["path"].startswith(staged_rel + "/")
+            else dict(f)
+            for f in files
+        ]
+
+    def _publish(self, staged_rel: str | None, make_record, max_retries: int = 64) -> dict:
+        """Atomically publish a staged write under the next free version.
+
+        Loop: claim ``data/c{head+1}`` by RENAMING the staged dir onto it
+        (rename fails if the slot is taken — the filesystem is the lock,
+        mirroring the commit log's hard-link CAS), then attempt the log
+        commit built by ``make_record(cur_rec, final_rel)``. On
+        CommitConflict (a metadata-only commit can win the version without
+        owning a data dir) re-read the head, re-rename the claim forward,
+        and retry — make_record re-derives the record from the NEW current
+        record, which is what makes the retry a REBASE, not a blind
+        replay. make_record may raise ConcurrentWriteConflict (validation
+        against the new head failed); the claimed dir is discarded then.
+
+        ``staged_rel=None`` publishes a metadata-only record (no data dir,
+        no claim)."""
+        cur = self._current()
+        claimed: str | None = None
+        claimed_abs: str | None = None
+        try:
+            for _ in range(max_retries):
+                version = cur["version"] + 1
+                final_rel = f"data/c{version:08d}"
+                final_abs = os.path.join(self.table_dir, final_rel)
+                if staged_rel is not None and claimed != final_rel:
+                    src = claimed_abs or os.path.join(self.table_dir, staged_rel)
+                    try:
+                        os.rename(src, final_abs)
+                    except OSError:
+                        head = commitlog.current_version(self.table_dir)
+                        if head is not None and head >= version:
+                            cur = self._current()
+                            continue  # slot committed under us: rebase
+                        if self._may_reclaim(final_abs):
+                            shutil.rmtree(final_abs, ignore_errors=True)
+                            os.rename(src, final_abs)
+                        else:  # in-flight concurrent writer holds the slot
+                            import time as _time
+
+                            _time.sleep(0.05)
+                            cur = self._current()
+                            continue
+                    claimed, claimed_abs = final_rel, final_abs
+                try:
+                    record = make_record(cur, final_rel)
+                    assert record["version"] == version
+                    self._commit(record)
+                    claimed = claimed_abs = None  # committed: now owned by the log
+                    return record
+                except commitlog.CommitConflict:
+                    cur = self._current()
+            raise commitlog.CommitConflict(
+                f"gave up after {max_retries} rebase attempts on {self.table_dir}"
+            )
+        finally:
+            if claimed_abs is not None:  # aborted after claiming: discard
+                shutil.rmtree(claimed_abs, ignore_errors=True)
 
     def schema_fields(self, rec: dict | None = None, schema_version: int | None = None) -> list[LakeField]:
         rec = rec or self._current()
@@ -1001,24 +1125,25 @@ class LakeTable:
     def _write_bucket_data(
         self,
         df: DataFrame,
-        version: int,
+        staged_rel: str,
         schema_version: int,
         files_per_bucket: int = 1,
         pre_partitioned: bool = False,
         n_buckets: int | None = None,
         key_cols: tuple[str, ...] | list[str] = ("repo", "path"),
     ) -> list[dict]:
-        """Write df (which carries `bkt`) under data/c{version}/ and
-        return file metadata. `files_per_bucket` > 1 splits each bucket by
+        """Write df (which carries `bkt`) under the collision-free
+        ``staged_rel`` dir (from :meth:`_stage_rel`) and return file
+        metadata with staged paths — :meth:`_publish` renames the dir onto
+        its final ``data/c{version}`` name and reprefixes the paths at
+        commit time, so the path==commit-version invariant the change feed
+        relies on still holds. `files_per_bucket` > 1 splits each bucket by
         a key-salt so one hot bucket still writes in parallel (C4).
         `pre_partitioned`: caller guarantees the frame is already in
         (bkt, salt) layout sorted by key — skip the shuffle and sort."""
-        rel = f"data/c{version:08d}"
+        rel = staged_rel
         out_dir = os.path.join(self.table_dir, rel)
-        # A directory for an uncommitted version is debris from a crashed
-        # writer (versions only advance on log commit) — safe to clear.
-        if os.path.isdir(out_dir):
-            shutil.rmtree(out_dir)
+        shutil.rmtree(out_dir, ignore_errors=True)  # _stage_rel pre-made it
         if not pre_partitioned:
             # Explicit partition count: repartition(cols) with no count is
             # an AQE-coalescible exchange that can collapse the whole
@@ -1073,18 +1198,37 @@ class LakeTable:
         if "_op" not in df.columns:
             df = df.withColumn("_op", F.lit("I"))
         df = df.withColumn("bkt", bucket_expr(rec["n_buckets"]))
-        version = rec["version"] + 1
+        staged = self._stage_rel()
         files = self._write_bucket_data(
-            df, version, rec["schema_version"], n_buckets=rec["n_buckets"],
+            df, staged, rec["schema_version"], n_buckets=rec["n_buckets"],
             key_cols=rec.get("key_cols", ["repo", "path"]),
         )
-        fences = rec["fences"]
-        if fence:
-            fences = self._advance_fence(fences, fence[0], fence[1])
-        record = {**rec, "version": version, "files": files, "fences": fences}
-        if props_update:
-            record["props"] = {**record.get("props", {}), **props_update}
-        self._commit(record)
+
+        def make(cur, final_rel):
+            if (cur["schema_version"], cur["n_buckets"]) != (
+                rec["schema_version"], rec["n_buckets"],
+            ):
+                raise commitlog.ConcurrentWriteConflict(
+                    "schema/bucket layout changed under overwrite_snapshot"
+                )
+            fences = cur["fences"]
+            if fence:
+                if self._fence_covers(fences, fence[0], fence[1]):
+                    raise commitlog.EpochAlreadyFenced(
+                        f"epoch {fence} already fenced by a concurrent writer"
+                    )
+                fences = self._advance_fence(fences, fence[0], fence[1])
+            record = {
+                **cur,
+                "version": cur["version"] + 1,
+                "files": self._reprefix(files, staged, final_rel),
+                "fences": fences,
+            }
+            if props_update:
+                record["props"] = {**record.get("props", {}), **props_update}
+            return record
+
+        self._publish(staged, make)
 
     def append_delta(
         self,
@@ -1111,44 +1255,60 @@ class LakeTable:
             batch = batch.withColumn("bkt", bucket_expr(rec["n_buckets"]))
         cur_names = [f.name for f in self.schema_fields(rec)]
         batch = batch.select(*cur_names, "_seq", "_op", "bkt")
-        version = rec["version"] + 1
+        staged = self._stage_rel()
         new_files = self._write_bucket_data(
-            batch, version, rec["schema_version"],
+            batch, staged, rec["schema_version"],
             files_per_bucket=files_per_bucket, pre_partitioned=pre_partitioned,
             n_buckets=rec["n_buckets"], key_cols=rec.get("key_cols", ["repo", "path"]),
         )
         for f in new_files:
             f["delta"] = True
-        fences = rec["fences"]
-        if fence:
-            fences = self._advance_fence(fences, fence[0], fence[1])
-        stats = {
-            "version": version,
+        if info is not None and callable(info):
+            info = info()  # post-write: lets Observation-based stats resolve
+
+        def make(cur, final_rel):
+            # append-shaped: rebases onto any concurrent head. The only
+            # non-rebasable outcome is our own epoch landing twice.
+            fences = cur["fences"]
+            if fence:
+                if self._fence_covers(fences, fence[0], fence[1]):
+                    raise commitlog.EpochAlreadyFenced(
+                        f"epoch {fence} already fenced by a concurrent writer"
+                    )
+                fences = self._advance_fence(fences, fence[0], fence[1])
+            stats = {
+                "version": cur["version"] + 1,
+                "buckets_rewritten": 0,
+                "files_written": len(new_files),
+            }
+            record = {
+                **cur,
+                "version": cur["version"] + 1,
+                "files": cur["files"] + self._reprefix(new_files, staged, final_rel),
+                "fences": fences,
+            }
+            if info is not None:
+                record["epoch_info"] = {**info, **stats}
+            return record
+
+        record = self._publish(staged, make)
+        return {
+            "version": record["version"],
             "buckets_rewritten": 0,
             "files_written": len(new_files),
         }
-        record = {**rec, "version": version, "files": rec["files"] + new_files, "fences": fences}
-        if info is not None:
-            if callable(info):
-                info = info()  # post-write: lets Observation-based stats resolve
-            record["epoch_info"] = {**info, **stats}
-        self._commit(record)
-        return stats
 
     def begin_delta_version(self) -> tuple[int, str]:
-        """Reserve the next version's data directory for a fused task-write
-        (operators.cdc sink_spec). Clears crashed-writer debris; the commit
-        happens in :meth:`commit_delta_files` after the write job. Single-
-        writer contract: no other commit may interleave (enforced at
-        commit)."""
+        """Reserve a STAGING directory for a fused task-write
+        (operators.cdc sink_spec) and return (provisional_version, rel).
+        The version is advisory — :meth:`commit_delta_files` assigns the
+        real one when it renames the staged dir onto ``data/c{v}`` inside
+        the optimistic publish loop, so concurrent writers (another
+        pipeline, a compaction cron) can interleave; staged dirs are
+        uuid-named and never collide. Crashed-writer staging dirs are
+        reclaimed by :meth:`vacuum`."""
         rec = self._current()
-        version = rec["version"] + 1
-        rel = f"data/c{version:08d}"
-        out_dir = os.path.join(self.table_dir, rel)
-        if os.path.isdir(out_dir):
-            shutil.rmtree(out_dir)
-        os.makedirs(out_dir, exist_ok=True)
-        return version, rel
+        return rec["version"] + 1, self._stage_rel()
 
     def commit_delta_files(
         self,
@@ -1162,10 +1322,6 @@ class LakeTable:
         version dir; this is the driver-side metadata swap (the Iceberg
         commit shape). `files`: [{"path", "bucket"}] relative paths."""
         rec = self._current()
-        if rec["version"] + 1 != version:
-            raise commitlog.CommitConflict(
-                f"reserved version {version} but table is at {rec['version']}"
-            )
         new_files = [
             {
                 "path": f["path"],
@@ -1181,34 +1337,63 @@ class LakeTable:
             }
             for f in files
         ]
-        fences = rec["fences"]
-        if fence:
-            fences = self._advance_fence(fences, fence[0], fence[1])
-        stats = {
-            "version": version,
+        if info is not None and callable(info):
+            info = info()
+        # staged prefix comes from the paths themselves (data/.stage-*/...)
+        staged = None
+        for f in new_files:
+            parts = f["path"].split("/", 2)
+            if len(parts) == 3 and parts[1].startswith(".stage-"):
+                staged = f"{parts[0]}/{parts[1]}"
+                break
+        if staged is None:  # empty epoch through the fused sink: fence only
+            assert not new_files
+
+        def make(cur, final_rel):
+            fences = cur["fences"]
+            if fence:
+                if self._fence_covers(fences, fence[0], fence[1]):
+                    raise commitlog.EpochAlreadyFenced(
+                        f"epoch {fence} already fenced by a concurrent writer"
+                    )
+                fences = self._advance_fence(fences, fence[0], fence[1])
+            stats = {
+                "version": cur["version"] + 1,
+                "buckets_rewritten": 0,
+                "files_written": len(new_files),
+            }
+            record = {
+                **cur,
+                "version": cur["version"] + 1,
+                "files": cur["files"]
+                + (self._reprefix(new_files, staged, final_rel) if staged else []),
+                "fences": fences,
+            }
+            if info is not None:
+                record["epoch_info"] = {**info, **stats}
+            return record
+
+        record = self._publish(staged, make)
+        return {
+            "version": record["version"],
             "buckets_rewritten": 0,
             "files_written": len(new_files),
         }
-        record = {**rec, "version": version, "files": rec["files"] + new_files, "fences": fences}
-        if info is not None:
-            if callable(info):
-                info = info()
-            record["epoch_info"] = {**info, **stats}
-        self._commit(record)
-        return stats
 
     def fence_epoch_only(self, pipeline_id: str, epoch_id: int, info: dict | None = None) -> None:
         """Metadata-only commit: advance the epoch fence without touching
         data (used for empty epochs so resume still skips them)."""
-        rec = self._current()
-        record = {
-            **rec,
-            "version": rec["version"] + 1,
-            "fences": self._advance_fence(rec["fences"], pipeline_id, epoch_id),
-        }
-        if info is not None:
-            record["epoch_info"] = info
-        self._commit(record)
+        def make(cur, final_rel):
+            record = {
+                **cur,
+                "version": cur["version"] + 1,
+                "fences": self._advance_fence(cur["fences"], pipeline_id, epoch_id),
+            }
+            if info is not None:
+                record["epoch_info"] = info
+            return record
+
+        self._publish(None, make)
 
     def describe(self) -> dict:
         """Operational table summary from commit metadata alone — zero
@@ -1311,17 +1496,11 @@ class LakeTable:
         rec = self._current()
         bset = set(buckets)
         target = [f for f in rec["files"] if f["bucket"] in bset]
-        keep = [f for f in rec["files"] if f["bucket"] not in bset]
         if not target:
             return {"buckets_rewritten": 0, "files_written": 0}
-        version = rec["version"] + 1
-        rel = f"data/c{version:08d}"
-        out_dir = os.path.join(self.table_dir, rel)
-        # Debris from a crashed writer (versions advance only on log commit).
-        if os.path.isdir(out_dir):
-            shutil.rmtree(out_dir)
+        staged = self._stage_rel()
         meta = self._bucket_local_merge(
-            rec, target, write_rel=rel, files_per_bucket=files_per_bucket,
+            rec, target, write_rel=staged, files_per_bucket=files_per_bucket,
             drop_tombstones_below=drop_tombstones_below,
         )
         new_files = [
@@ -1336,7 +1515,30 @@ class LakeTable:
             }
             for r in meta.collect()
         ]
-        self._commit({**rec, "version": version, "files": keep + new_files})
+        target_paths = {f["path"] for f in target}
+
+        def make(cur, final_rel):
+            # rewrite-shaped rebase: valid iff every input file is still
+            # live (another compactor racing the same buckets is the only
+            # way they vanish — that run already did this work). Deltas a
+            # concurrent INGEST appended to these buckets meanwhile simply
+            # stay in `keep` and stack on top of the compacted base —
+            # merge order is by _seq, not by generation, so the result is
+            # identical to having compacted first.
+            cur_paths = {f["path"] for f in cur["files"]}
+            if not target_paths <= cur_paths:
+                raise commitlog.ConcurrentWriteConflict(
+                    "compaction inputs were rewritten by a concurrent "
+                    "maintenance commit; re-plan from the new state"
+                )
+            keep = [f for f in cur["files"] if f["path"] not in target_paths]
+            return {
+                **cur,
+                "version": cur["version"] + 1,
+                "files": keep + self._reprefix(new_files, staged, final_rel),
+            }
+
+        self._publish(staged, make)
         return {"buckets_rewritten": len(bset), "files_written": len(new_files)}
 
     def merge_upsert(
@@ -1404,30 +1606,61 @@ class LakeTable:
                 .drop("_prio")
             )
 
-        version = rec["version"] + 1
+        staged = self._stage_rel()
         new_files = self._write_bucket_data(
-            merged, version, rec["schema_version"], files_per_bucket=files_per_bucket,
+            merged, staged, rec["schema_version"], files_per_bucket=files_per_bucket,
             n_buckets=n_buckets, key_cols=key_cols,
         )
-        fences = rec["fences"]
-        if fence:
-            fences = self._advance_fence(fences, fence[0], fence[1])
-        stats = {
-            "version": version,
+        if info is not None and callable(info):
+            info = info()  # post-write: lets Observation-based stats resolve
+        target_sig = sorted(f["path"] for f in target_files)
+
+        def make(cur, final_rel):
+            # Copy-on-write REWRITES the affected buckets from the state it
+            # read, so a concurrent commit touching those buckets cannot be
+            # rebased — the merged output would silently drop it. Untouched
+            # buckets rebase fine (recomputed keep list).
+            cur_affected = sorted(
+                f["path"] for f in cur["files"] if f["bucket"] in set(affected)
+            )
+            if cur_affected != target_sig:
+                raise commitlog.ConcurrentWriteConflict(
+                    "merge_upsert read-set changed: affected buckets were "
+                    "written concurrently; re-run the merge on the new state"
+                )
+            fences = cur["fences"]
+            if fence:
+                if self._fence_covers(fences, fence[0], fence[1]):
+                    raise commitlog.EpochAlreadyFenced(
+                        f"epoch {fence} already fenced by a concurrent writer"
+                    )
+                fences = self._advance_fence(fences, fence[0], fence[1])
+            keep = [f for f in cur["files"] if f["bucket"] not in set(affected)]
+            stats = {
+                "version": cur["version"] + 1,
+                "buckets_rewritten": len(affected),
+                "files_written": len(new_files),
+            }
+            record = {
+                **cur,
+                "version": cur["version"] + 1,
+                "files": keep + self._reprefix(new_files, staged, final_rel),
+                "fences": fences,
+            }
+            if props_update:
+                record["props"] = {**record.get("props", {}), **props_update}
+            if info is not None:
+                record["epoch_info"] = {**info, **stats}
+            else:
+                record.pop("epoch_info", None)
+            return record
+
+        record = self._publish(staged, make)
+        return {
+            "version": record["version"],
             "buckets_rewritten": len(affected),
             "files_written": len(new_files),
         }
-        record = {**rec, "version": version, "files": keep_files + new_files, "fences": fences}
-        if props_update:
-            record["props"] = {**record.get("props", {}), **props_update}
-        if info is not None:
-            if callable(info):
-                info = info()  # post-write: lets Observation-based stats resolve
-            record["epoch_info"] = {**info, **stats}
-        else:
-            record.pop("epoch_info", None)
-        self._commit(record)
-        return stats
 
     # ----------------------------------------------------- schema evolution
 
@@ -1549,19 +1782,35 @@ class LakeTable:
         like any other maintenance window."""
         rec = self._current()
         merged = self._read_merged(rec, rec["files"])
-        version = rec["version"] + 1
         if merged is None:
             new_files: list[dict] = []
+            staged = None
         else:
+            staged = self._stage_rel()
             df = merged.withColumn("bkt", bucket_expr(n_buckets))
             new_files = self._write_bucket_data(
-                df, version, rec["schema_version"],
+                df, staged, rec["schema_version"],
                 files_per_bucket=files_per_bucket, n_buckets=n_buckets,
                 key_cols=rec.get("key_cols", ["repo", "path"]),
             )
-        self._commit(
-            {**rec, "version": version, "files": new_files, "n_buckets": n_buckets}
-        )
+        read_sig = sorted(f["path"] for f in rec["files"])
+
+        def make(cur, final_rel):
+            # full-table rewrite: any concurrent data commit invalidates it
+            if sorted(f["path"] for f in cur["files"]) != read_sig:
+                raise commitlog.ConcurrentWriteConflict(
+                    "table was written concurrently during rebucket; re-run"
+                )
+            return {
+                **cur,
+                "version": cur["version"] + 1,
+                "files": self._reprefix(new_files, staged, final_rel)
+                if staged
+                else [],
+                "n_buckets": n_buckets,
+            }
+
+        self._publish(staged, make)
         return {"n_buckets": n_buckets, "files_written": len(new_files)}
 
     def vacuum(self, keep_snapshots: int = 0) -> int:
@@ -1591,11 +1840,25 @@ class LakeTable:
             for f in r["files"]
         }
         data_root = os.path.join(self.table_dir, "data")
+        head = rec["version"]
         removed = 0
         if os.path.isdir(data_root):
             for d in os.listdir(data_root):
                 vd = os.path.join(data_root, d)
+                if d.startswith(".stage-"):
+                    # uncommitted staging write: crashed-writer debris
+                    # unless a live concurrent writer still owns it
+                    if self._may_reclaim(vd):
+                        shutil.rmtree(vd, ignore_errors=True)
+                        removed += 1
+                    continue
                 if d not in live_dirs:
+                    try:
+                        dv = int(d.lstrip("c"))
+                    except ValueError:
+                        dv = None
+                    if dv is not None and dv > head and not self._may_reclaim(vd):
+                        continue  # claimed by an in-flight publish
                     shutil.rmtree(vd)
                     removed += 1
                     continue

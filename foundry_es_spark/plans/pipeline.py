@@ -248,6 +248,13 @@ class PipelineConfig:
                                      # lineage count), and change-feed consumers see
                                      # sparse P rows (full-image consumers need
                                      # "write").
+    concurrent_writers: bool = False # multi-writer OCC on the local backend: the
+                                     # pipeline's commits REBASE past concurrent
+                                     # maintenance commits (compaction cron, another
+                                     # route's pipeline) instead of failing, and
+                                     # uncommitted version dirs are treated as
+                                     # in-flight rather than reclaimable debris.
+                                     # See LakeTable(concurrent_writers=...).
     backend: object | None = None    # injected TableBackend (S5 seam, SURVEY §4.4).
                                      # None = LocalLakeBackend (LakeTable) built from
                                      # table_dir. Pass an IcebergBackend to run the
@@ -307,10 +314,15 @@ class CdcPipeline:
                 be.create(fields)
             return be
         if LakeTable.exists(self.cfg.table_dir):
-            return LakeTable(self.spark, self.cfg.table_dir)
-        return LakeTable.create(
+            return LakeTable(
+                self.spark, self.cfg.table_dir,
+                concurrent_writers=self.cfg.concurrent_writers,
+            )
+        t = LakeTable.create(
             self.spark, self.cfg.table_dir, fields, n_buckets=self.cfg.n_buckets
         )
+        t.concurrent_writers = self.cfg.concurrent_writers
+        return t
 
     @property
     def table(self):

@@ -39,6 +39,17 @@ def main() -> None:
                     "(caller asserts all events <= SEQ are fully delivered; "
                     "see LakeTable.purge_tombstones). Runs as a full-bucket "
                     "compaction pass before threshold compaction.")
+    ap.add_argument("--concurrent", action="store_true",
+                    help="multi-writer OCC: safe to run WHILE the ingest "
+                    "pipeline is live (maintenance commits rebase past "
+                    "concurrent epoch commits; on ConcurrentWriteConflict "
+                    "a step is skipped this run and retried next cron "
+                    "tick). Without it, schedule maintenance in a write "
+                    "pause (the single-writer contract).")
+    ap.add_argument("--writer-grace-sec", type=float, default=300.0,
+                    help="with --concurrent: age after which an "
+                    "uncommitted staging/claimed dir is considered a "
+                    "crashed writer's debris")
     ap.add_argument("--skip-compact", action="store_true")
     ap.add_argument("--skip-expire", action="store_true")
     ap.add_argument("--skip-vacuum", action="store_true")
@@ -48,19 +59,38 @@ def main() -> None:
     from foundry_es_spark.session import get_spark
 
     spark = get_spark(app_name="cdc-maintain")
-    t = LakeTable(spark, args.table_dir)
+    t = LakeTable(
+        spark, args.table_dir,
+        concurrent_writers=args.concurrent,
+        writer_grace_sec=args.writer_grace_sec,
+    )
     out: dict = {"table_dir": args.table_dir, "before": t.describe()}
 
+    def _step(fn):
+        """With --concurrent a rewrite step whose inputs moved under it is
+        skipped (idempotent — next tick redoes it); without, conflicts
+        propagate (they indicate a violated single-writer contract)."""
+        from foundry_es_spark.lake import log as commitlog
+
+        try:
+            return fn()
+        except commitlog.ConcurrentWriteConflict:
+            if not args.concurrent:
+                raise
+            return {"skipped": "concurrent write conflict; retry next run"}
+
     if args.gc_tombstones_below is not None:
-        out["tombstone_gc"] = t.purge_tombstones(
+        out["tombstone_gc"] = _step(lambda: t.purge_tombstones(
             args.gc_tombstones_below, files_per_bucket=args.files_per_bucket
-        )
+        ))
 
     if not args.skip_compact:
         gens = t.bucket_delta_generations()
         due = sorted(b for b, g in gens.items() if g >= max(1, args.compact_threshold))
         if due:
-            stats = t.compact_buckets(due, files_per_bucket=args.files_per_bucket)
+            stats = _step(lambda: t.compact_buckets(
+                due, files_per_bucket=args.files_per_bucket
+            ))
             out["compact"] = {"buckets": due, **stats}
         else:
             out["compact"] = {"buckets": []}

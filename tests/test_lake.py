@@ -556,9 +556,11 @@ def test_change_feed_over_vacuumed_window_raises_typed(spark, tmp_table, tmp_pat
 
 
 def test_concurrent_writer_conflict(spark, tmp_table):
-    """Optimistic concurrency: two writers racing the same version — the
-    loser gets CommitConflict and the table reflects exactly one commit
-    (the hard-link swap in lake/log.py is the atomicity point)."""
+    """Optimistic concurrency: the raw log still rejects a double-commit
+    of one version (the hard-link swap in lake/log.py is the atomicity
+    point), while the WRITE paths now REBASE past a concurrent commit
+    instead of dying — Iceberg fast-append semantics (this test asserted
+    the old die-on-conflict behavior before the OCC layer)."""
     from foundry_es_spark.lake import log as commitlog
 
     t = LakeTable.create(spark, tmp_table, FIELDS, n_buckets=4)
@@ -566,16 +568,25 @@ def test_concurrent_writer_conflict(spark, tmp_table):
     rec = t._current()
     # writer A commits version v+1
     commitlog.write_commit(tmp_table, {**rec, "version": rec["version"] + 1})
-    # writer B (stale view) tries the same version
+    # writer B (stale view) tries the same raw version: log-level conflict
     with pytest.raises(commitlog.CommitConflict):
         commitlog.write_commit(tmp_table, {**rec, "version": rec["version"] + 1})
-    # fused-sink reservation detects the same race at commit time
+    # fused-sink commit races a metadata-only commit that steals its
+    # provisional version: the OCC publish rebases onto the next slot
     version, rel = t.begin_delta_version()
     commitlog.write_commit(tmp_table, {**t._current(), "version": version})
-    with pytest.raises(commitlog.CommitConflict):
-        t.commit_delta_files(version, [])
-    # state is intact: still exactly one live row
-    assert t.read().count() == 1
+    stats = t.commit_delta_files(version, [])
+    assert stats["version"] == version + 1  # rebased, not failed
+    # an append racing the same interleaving also rebases, with its data
+    # dir renamed to the version it actually committed as
+    v0 = t._current()["version"]
+    commitlog.write_commit(tmp_table, {**t._current(), "version": v0 + 1})
+    t.append_delta(_batch(spark, [("r9", "z", "c9", "py", "v9", 9, "I")]))
+    rec2 = t._current()
+    assert rec2["version"] == v0 + 2
+    new = [f for f in rec2["files"] if f["path"].startswith(f"data/c{v0 + 2:08d}/")]
+    assert new, "rebased append must land under its final commit's dir"
+    assert t.read().count() == 2
 
 
 def test_commit_log_costs_bounded(spark, tmp_table, monkeypatch):
