@@ -444,6 +444,10 @@ class LakeTable:
             import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
+            from foundry_es_spark.arrowpin import pin_arrow_threads
+
+            pin_arrow_threads()  # task-parallel job: intra-task pool is pure overhead
+
             SEP = "\x00"  # minimal codepoint: concat-compare == tuple-compare
 
             def align(t, spec):

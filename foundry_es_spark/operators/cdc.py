@@ -290,6 +290,9 @@ def compact_sorted_partitions(
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        from foundry_es_spark.arrowpin import pin_arrow_threads
+
+        pin_arrow_threads()  # one worker per core already; see arrowpin.py
         _t0 = _time.monotonic()
 
         def _report(n_rows):
