@@ -249,13 +249,28 @@ class LakeTable:
         commit, so it is crashed-writer debris (the historical recovery
         contract). Concurrent mode: only once it is writer_grace_sec old
         (a younger dir is presumed in-flight; its writer will commit or
-        rebase away within the grace)."""
+        rebase away within the grace).
+
+        Age = the NEWEST mtime in the dir TREE, not the top dir's: a fused
+        write creates its bkt=N subdirs early and then streams parquet
+        files into them for the whole job, so the top dir's mtime goes
+        stale minutes before the write finishes — judging by it would let
+        a concurrent vacuum reclaim a LIVE staging dir mid-write. Task
+        file creation keeps advancing the tree's newest mtime, so a live
+        writer is never older than its last progress."""
         if not self.concurrent_writers:
             return True
         import time as _time
 
         try:
-            return _time.time() - os.path.getmtime(path) > self.writer_grace_sec
+            newest = os.path.getmtime(path)
+            for root, dirs, fns in os.walk(path):
+                for name in dirs + fns:
+                    try:
+                        newest = max(newest, os.path.getmtime(os.path.join(root, name)))
+                    except OSError:
+                        continue  # entry raced away mid-walk
+            return _time.time() - newest > self.writer_grace_sec
         except OSError:
             return True  # vanished: slot is free
 
@@ -336,6 +351,17 @@ class LakeTable:
 
     def properties(self) -> dict:
         return self._current()["props"]
+
+    @property
+    def n_buckets(self) -> int:
+        """The COMMITTED bucket count — the single source of truth for the
+        key→bucket mapping. Writers must derive layouts from this, never
+        from their own config: a pipeline whose ``PipelineConfig.n_buckets``
+        disagrees with the table (pre-existing table, or a ``rebucket()``
+        since the config was written) would otherwise write delta files
+        into the wrong bucket dirs and break the bucket-local merge
+        invariant (all generations of a bucket hold the same key slice)."""
+        return int(self._current()["n_buckets"])
 
     # -------------------------------------------------------------- fences
 
@@ -607,10 +633,12 @@ class LakeTable:
                     # key-fingerprint set (lake/kfp.py) for point-lookup
                     # pruning; in-task over the merged Arrow column — free.
                     # Compacted buckets usually exceed KFP_CAP distinct keys
-                    # and record None (bounds describe them fine).
-                    from foundry_es_spark.lake.kfp import kfp_encode
+                    # and record None (bounds describe them fine) — cap-check
+                    # BEFORE materializing the unique keys into Python.
+                    from foundry_es_spark.lake.kfp import KFP_CAP, kfp_encode
 
-                    kfp = kfp_encode(pc.unique(kcol).to_pylist())
+                    uk = pc.unique(kcol)
+                    kfp = kfp_encode(uk.to_pylist()) if len(uk) <= KFP_CAP else None
                 else:  # non-string partition key: no file bounds (pruning skips)
                     rmin = rmax = kfp = None
                 yield pa.RecordBatch.from_pydict(
@@ -1271,8 +1299,19 @@ class LakeTable:
             info = info()  # post-write: lets Observation-based stats resolve
 
         def make(cur, final_rel):
-            # append-shaped: rebases onto any concurrent head. The only
-            # non-rebasable outcome is our own epoch landing twice.
+            # append-shaped: rebases onto any concurrent head — EXCEPT one
+            # that changed the bucket layout. These files' key→bucket
+            # mapping was computed under rec["n_buckets"]; committing them
+            # past a concurrent rebucket() would scatter a key's delta rows
+            # into a different bucket than its base rows and the bucket-
+            # local merge would never see them together (stale reads /
+            # tombstone resurrection). Typed conflict → caller re-plans.
+            if cur["n_buckets"] != rec["n_buckets"]:
+                raise commitlog.ConcurrentWriteConflict(
+                    "bucket layout changed by a concurrent rebucket "
+                    f"({rec['n_buckets']} -> {cur['n_buckets']}); "
+                    "re-bucket the batch and retry"
+                )
             fences = cur["fences"]
             if fence:
                 if self._fence_covers(fences, fence[0], fence[1]):
@@ -1320,17 +1359,30 @@ class LakeTable:
         files: list[dict],
         fence: tuple[str, int] | None = None,
         info: dict | None = None,
+        expect: dict | None = None,
     ) -> dict:
         """Publish task-written delta files (fused sink) as one atomic
         commit — data files were already written under the reserved
         version dir; this is the driver-side metadata swap (the Iceberg
-        commit shape). `files`: [{"path", "bucket"}] relative paths."""
+        commit shape). `files`: [{"path", "bucket"}] relative paths.
+
+        ``expect``: ``{"n_buckets": .., "schema_version": ..}`` captured by
+        the caller when it PLANNED the write. The files were produced
+        between ``begin_delta_version`` and this call, so the current
+        record may already reflect a concurrent rebucket/evolve — the
+        files must be stamped with the schema they were actually written
+        under, and a bucket-layout change is a typed conflict (the files'
+        key→bucket mapping is stale). Without ``expect`` both come from
+        the current record (single-writer behavior)."""
         rec = self._current()
+        expect = expect or {}
+        write_sv = int(expect.get("schema_version", rec["schema_version"]))
+        write_nb = int(expect.get("n_buckets", rec["n_buckets"]))
         new_files = [
             {
                 "path": f["path"],
                 "bucket": int(f["bucket"]),
-                "schema_version": rec["schema_version"],
+                "schema_version": write_sv,
                 "delta": True,
                 # file-level key bounds (when the writer supplied them) —
                 # driver-side file pruning for selective reads
@@ -1354,6 +1406,12 @@ class LakeTable:
             assert not new_files
 
         def make(cur, final_rel):
+            if cur["n_buckets"] != write_nb:
+                raise commitlog.ConcurrentWriteConflict(
+                    "bucket layout changed since the fused write was "
+                    f"planned ({write_nb} -> {cur['n_buckets']}); "
+                    "re-bucket the batch and retry"
+                )
             fences = cur["fences"]
             if fence:
                 if self._fence_covers(fences, fence[0], fence[1]):
@@ -1399,6 +1457,23 @@ class LakeTable:
 
         self._publish(None, make)
 
+    def update_properties(self, props: dict) -> None:
+        """Metadata-only commit merging ``props`` into the table properties
+        (`ALTER TABLE ... SET TBLPROPERTIES` analogue). Goes through the
+        optimistic `_publish` loop, so under concurrent writers it REBASES
+        past racing commits instead of failing on CommitConflict — the
+        correct path for maintainer cursors (plans/derived.py,
+        plans/dedup_maintain.py) whose no-op windows race live ingest."""
+
+        def make(cur, final_rel):
+            return {
+                **cur,
+                "version": cur["version"] + 1,
+                "props": {**cur.get("props", {}), **props},
+            }
+
+        self._publish(None, make)
+
     def describe(self) -> dict:
         """Operational table summary from commit metadata alone — zero
         Spark jobs, zero file I/O beyond the (O(1)-resolved) current
@@ -1407,10 +1482,14 @@ class LakeTable:
         retention, or rebucketing."""
         rec = self._current()
         files = rec["files"]
-        gens = {}
+        # generations = distinct commit dirs, NOT delta files: a bucket
+        # written as k files per generation (files_per_bucket, hot-bucket
+        # salting) must not look k× hotter to an operator sizing compaction
+        # (same contract as bucket_delta_generations()).
+        gens: dict[int, set] = {}
         for f in files:
             if f.get("delta"):
-                gens[f["bucket"]] = gens.get(f["bucket"], 0) + 1
+                gens.setdefault(f["bucket"], set()).add(f["path"].split("/")[1])
         return {
             "version": rec["version"],
             "schema_version": rec["schema_version"],
@@ -1419,7 +1498,7 @@ class LakeTable:
             "schema": [(f.name, f.type) for f in self.schema_fields(rec)],
             "n_files": len(files),
             "n_delta_files": sum(1 for f in files if f.get("delta")),
-            "max_delta_generations": max(gens.values(), default=0),
+            "max_delta_generations": max((len(s) for s in gens.values()), default=0),
             "files_with_key_bounds": sum(1 for f in files if f.get("rmin") is not None),
             "files_with_key_fingerprints": sum(1 for f in files if f.get("kfp")),
             # physical rows incl. tombstones/superseded deltas (live row

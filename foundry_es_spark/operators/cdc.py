@@ -394,10 +394,12 @@ def compact_sorted_partitions(
                 rmin, rmax = mm["min"].as_py(), mm["max"].as_py()
                 # key-fingerprint set (lake/kfp.py): point-lookup pruning
                 # where a delta file's [min,max] spans the key space;
-                # in-task over the already-materialized Arrow column — free
-                from foundry_es_spark.lake.kfp import kfp_encode
+                # in-task over the already-materialized Arrow column — free.
+                # Cap-check before materializing unique keys into Python.
+                from foundry_es_spark.lake.kfp import KFP_CAP, kfp_encode
 
-                kfp = kfp_encode(pc.unique(kcol).to_pylist())
+                uk = pc.unique(kcol)
+                kfp = kfp_encode(uk.to_pylist()) if len(uk) <= KFP_CAP else None
             else:
                 rmin = rmax = kfp = None
             yield pa.RecordBatch.from_pydict(
@@ -473,11 +475,12 @@ def snapshot_diff_events(
         snapshot.select(*key_cols), on=key_cols, how="left_anti"
     )
     bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(1024))
-    rank = (
-        F.row_number().over(
-            W.partitionBy(bucket).orderBy(*[F.col(c) for c in key_cols])
-        )
-        - 1
+    # 1-based on purpose: bucket 0's first key would otherwise get seq ==
+    # base_seq exactly, and with base_seq = the table's current max seq
+    # (the natural low watermark) the seq-conditional merge (s._seq >
+    # t._seq) would silently drop that key's delete.
+    rank = F.row_number().over(
+        W.partitionBy(bucket).orderBy(*[F.col(c) for c in key_cols])
     )
     ts = (
         F.timestamp_millis(F.lit(int(ts_millis)))

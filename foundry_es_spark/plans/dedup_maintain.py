@@ -287,12 +287,30 @@ class IncrementalDedupPipeline:
                 self.source.read(repos=sorted({k[0] for k in patch_keys}))
                 .select(*_A, self.cfg.text_col)
             )
-            latest = latest.where(F.col("_op") != "P").unionByName(
-                latest.where(F.col("_op") == "P")
-                .drop(self.cfg.text_col)
-                .join(snap, on=_A, how="inner")
+            p_rows = latest.where(F.col("_op") == "P").drop(self.cfg.text_col)
+            resolved = (
+                p_rows.join(snap, on=_A, how="inner")
                 .withColumn("_op", F.lit("U"))
                 .select(*_A, "_op", self.cfg.text_col)
+            )
+            # A net-'P' key ABSENT from the snapshot was deleted earlier in
+            # the window (D then late patch — patch-after-delete stays
+            # deleted) or never existed (orphan). Either way no live
+            # signature may remain: fold it as a D so the tombstone branch
+            # below treats it like any other delete (an orphan's D merges
+            # over nothing — harmless). Dropping it entirely (the old
+            # behavior) leaked the deleted doc's signature forever and
+            # broke the incremental == batch-rebuild equivalence.
+            gone = (
+                p_rows.join(snap.select(*_A), on=_A, how="left_anti")
+                .withColumn("_op", F.lit("D"))
+                .withColumn(self.cfg.text_col, F.lit(None).cast("string"))
+                .select(*_A, "_op", self.cfg.text_col)
+            )
+            latest = (
+                latest.where(F.col("_op") != "P")
+                .unionByName(resolved)
+                .unionByName(gone)
             )
 
         victim_repos = sorted({v[0] for v in victims})
@@ -407,7 +425,7 @@ class IncrementalDedupPipeline:
         return {"refreshed": True, "cursor": src_cur, "mode": "full"}
 
     def _set_cursor_only(self, pairs_t: LakeTable, src_cur: int) -> None:
-        rec = pairs_t._current()
-        rec["props"] = {**rec["props"], self._cursor_key: str(src_cur)}
-        rec["version"] += 1
-        pairs_t._commit(rec)
+        # OCC-safe: rebases past racing ingest commits (a raw _commit here
+        # raised CommitConflict uncaught when the maintenance cron ran
+        # alongside live writers)
+        pairs_t.update_properties({self._cursor_key: str(src_cur)})

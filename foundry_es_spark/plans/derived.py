@@ -223,10 +223,10 @@ class DerivedTablePipeline:
         return {"refreshed": True, "cursor": src_cur, "mode": "full"}
 
     def _set_cursor_only(self, derived: LakeTable, src_cur: int) -> None:
-        rec = derived._current()
-        rec["props"] = {**rec["props"], self._cursor_key: str(src_cur)}
-        rec["version"] += 1
-        derived._commit(rec)
+        # OCC-safe: rebases past racing ingest commits (a raw _commit here
+        # raised CommitConflict uncaught when the maintenance cron ran
+        # alongside live writers)
+        derived.update_properties({self._cursor_key: str(src_cur)})
 
     def read(self) -> DataFrame:
         return self.table.read()

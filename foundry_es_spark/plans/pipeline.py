@@ -380,7 +380,7 @@ class CdcPipeline:
 
     # -------------------------------------------------------- epoch body
 
-    def _resolve_patches(self, table, valid, compacted):
+    def _resolve_patches(self, table, valid, compacted, n_buckets: int):
         """Resolve net-'P' keys (base image committed in an earlier epoch)
         against the stored rows: each unset (null) payload column coalesces
         from the table's current value; the patched row re-enters the merge
@@ -401,7 +401,7 @@ class CdcPipeline:
         touched = [
             r[0]
             for r in valid.where(F.col("op") == "P")
-            .select(bucket_expr(self.cfg.n_buckets).alias("b"))
+            .select(bucket_expr(n_buckets).alias("b"))
             .distinct()
             .collect()
         ]
@@ -476,6 +476,14 @@ class CdcPipeline:
         table = self.ensure_table()
         if table.is_epoch_committed(self.cfg.pipeline_id, epoch_id):
             return {"epoch": epoch_id, "skipped": True}
+
+        # The key→bucket mapping comes from the TABLE, never the config: a
+        # pre-existing table (or one rebucket()ed since the config was
+        # written) owns its layout, and writing this epoch's files under
+        # cfg.n_buckets would break the bucket-local merge invariant.
+        # One metadata read per epoch; foreign backends without the
+        # attribute fall back to the config.
+        nb = int(getattr(table, "n_buckets", 0) or self.cfg.n_buckets)
 
         t0 = time.monotonic()
         stage_sec: dict[str, float] = {}
@@ -559,7 +567,7 @@ class CdcPipeline:
         ):
             return self._apply_epoch_fused(
                 table, raw_batch, valid, epoch_id, n_events, base_info,
-                offsets_hint, obs_pre, t0, stage_sec,
+                offsets_hint, obs_pre, t0, stage_sec, nb,
             )
 
         # C1+C2 — three physical strategies for the same logical operator
@@ -584,7 +592,7 @@ class CdcPipeline:
             bucket_acc = self._bucket_acc()
             compacted = compact_sorted_partitions(
                 valid,
-                self.cfg.n_buckets,
+                nb,
                 self.cfg.files_per_bucket,
                 emit_meta=self.cfg.normalize,
                 metrics_acc=part_acc,
@@ -614,7 +622,7 @@ class CdcPipeline:
             # (patch_resolve='merge' skips this entirely: net-P rows land
             # as sparse delta rows and every bucket-local merge folds them
             # column-wise — no stored read in the epoch at all.)
-            compacted, patch_obs = self._resolve_patches(table, valid, compacted)
+            compacted, patch_obs = self._resolve_patches(table, valid, compacted, nb)
 
         # T1/T2/T3 — enhancement on the compacted survivors only (far
         # fewer rows than the raw batch when keys are updated repeatedly).
@@ -647,7 +655,7 @@ class CdcPipeline:
             touched = [
                 r[0]
                 for r in valid.select(
-                    bucket_expr(self.cfg.n_buckets).alias("b")
+                    bucket_expr(nb).alias("b")
                 ).distinct().collect()
             ]
             merge_batch = suppress_unchanged(
@@ -755,7 +763,7 @@ class CdcPipeline:
             touched = [
                 r[0]
                 for r in valid.select(
-                    bucket_expr(self.cfg.n_buckets).alias("b")
+                    bucket_expr(nb).alias("b")
                 ).distinct().collect()
             ]
             merge_stats = table.merge_upsert(
@@ -774,7 +782,7 @@ class CdcPipeline:
 
     def _apply_epoch_fused(
         self, table, raw_batch, valid, epoch_id, n_events, base_info,
-        offsets_hint, obs_pre, t0, stage_sec,
+        offsets_hint, obs_pre, t0, stage_sec, n_buckets: int | None = None,
     ) -> dict:
         """Fused epoch body (mor + sorted): ONE job whose tasks end at the
         delta parquet files. Projection to the final table schema, sha256 /
@@ -811,12 +819,20 @@ class CdcPipeline:
             *select, F.col("seq").alias("_seq"), F.col("op").alias("_op")
         )
 
+        nb = n_buckets if n_buckets is not None else int(
+            getattr(table, "n_buckets", 0) or self.cfg.n_buckets
+        )
+        # schema version the write job runs under (post-evolve) — passed to
+        # commit_delta_files as `expect` so the committed file metadata
+        # matches what was physically written, even if a concurrent writer
+        # evolves or rebuckets between the write and the commit
+        write_sv = int(table._current()["schema_version"])
         version, rel = table.begin_delta_version()
         t2 = time.monotonic()
         bucket_acc = self._bucket_acc()
         meta_df = compact_sorted_partitions(
             merge_batch,
-            self.cfg.n_buckets,
+            nb,
             self.cfg.files_per_bucket,
             order_col="_seq",
             emit_meta=self.cfg.normalize,
@@ -894,6 +910,10 @@ class CdcPipeline:
             ],
             fence=(self.cfg.pipeline_id, epoch_id),
             info=info,
+            # what the write job actually ran under: files must be stamped
+            # with this schema even if a concurrent evolve landed meanwhile,
+            # and a concurrent rebucket must conflict, not silently commit
+            expect={"n_buckets": nb, "schema_version": write_sv},
         )
         merge_stats = self._maybe_compact(table, merge_stats, stage_sec)
         return {**info, **merge_stats, "stage_sec": stage_sec, "skipped": False}

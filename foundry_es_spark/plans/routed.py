@@ -75,7 +75,18 @@ class RoutedPipeline:
         return out
 
     def replay_event_dir(self, events_dir: str) -> list[dict]:
+        """Walk an `epoch=<e>/` event log through every route.
+
+        Resume: epochs fenced by ALL routes are skipped without reading
+        their parquet (per-route fences may disagree after a crash between
+        route commits — a partially-fenced epoch re-reads and the fenced
+        routes skip inside apply_epoch). Schema reuse + per-epoch footer
+        fingerprint: same contract as CdcPipeline.replay_event_dir — the
+        fixed ~100 ms/epoch inference sweep is pure overhead at 10^4+
+        epochs, but an epoch that evolves the shape must re-infer."""
         import os
+
+        from foundry_es_spark.plans.pipeline import _epoch_schema_fingerprint
 
         epochs = sorted(
             int(d.split("=")[1])
@@ -83,8 +94,22 @@ class RoutedPipeline:
             if d.startswith("epoch=")
         )
         results = []
+        schema = schema_fp = None
         for e in epochs:
-            batch = self.spark.read.parquet(os.path.join(events_dir, f"epoch={e}"))
+            if all(
+                p.table.is_epoch_committed(p.cfg.pipeline_id, e)
+                for p in self.pipes.values()
+            ):
+                results.append({"epoch": e, "skipped": True})
+                continue
+            epoch_dir = os.path.join(events_dir, f"epoch={e}")
+            fp = _epoch_schema_fingerprint(epoch_dir)
+            reader = self.spark.read
+            if schema is not None and fp is not None and fp == schema_fp:
+                batch = reader.schema(schema).parquet(epoch_dir)
+            else:
+                batch = reader.parquet(epoch_dir)
+                schema, schema_fp = batch.schema, fp
             results.append({"epoch": e, **self.apply_epoch(batch, e)})
         return results
 

@@ -291,3 +291,53 @@ def test_probe_plan_broadcasts_delta_not_corpus(spark, tmp_path):
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_delete_then_late_patch_tombstones_signature(spark, tmp_path):
+    """D followed by a LATER 'P' on the same key inside one feed window:
+    the net op is 'P', the key resolves to nothing in the snapshot
+    (patch-after-delete stays deleted), and the old code dropped it from
+    BOTH the U and D branches — the dead doc's signature row lived
+    forever and the incremental == batch-rebuild equivalence broke. The
+    fix folds unresolved net-'P' keys as deletes."""
+    tmp = str(tmp_path)
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(pipeline_id="src", table_dir=f"{tmp}/src", n_buckets=4,
+                       normalize=False, patch_ops=True, patch_resolve="merge"),
+    )
+    dd = IncrementalDedupPipeline(
+        spark,
+        pipe.table,
+        DedupMaintainConfig(name="nd", sig_dir=f"{tmp}/sigs",
+                            pairs_dir=f"{tmp}/pairs", n_buckets=4),
+    )
+    pipe.apply_epoch(_events(spark, [
+        (0, "I", "r1", "a", BASE),
+        (1, "I", "r2", "b", VAR1),   # near-dup pair with r1/a
+        (2, "I", "r3", "c", OTHER),
+    ]), 0)
+    dd.refresh()
+    _assert_equiv(dd)
+    assert len(_canon(dd.pairs())) == 1
+
+    # one window: delete r2/b, then a LATE patch on it (stays deleted)
+    ev = spark.createDataFrame(
+        [
+            (10, "D", "r2", "b", None, None, None),
+            (11, "P", "r2", "b", None, "rust", None),
+        ],
+        "seq long, op string, repo string, path string, commit string, "
+        "lang string, content string",
+    ).select(
+        "seq", F.timestamp_millis(F.col("seq") * 10).alias("ts"), "op",
+        "repo", "path", "commit", "lang", "content",
+        F.pmod(F.xxhash64("repo"), F.lit(4)).alias("part"),
+    )
+    pipe.apply_epoch(ev, 1)
+    dd.refresh()
+    _assert_equiv(dd)  # sig table mirrors live keys: r2/b gone
+    assert _canon(dd.pairs()) == []  # the pair retracted with the doc
+    assert _canon(dd.sig_table.read().select("repo", "path")) == [
+        ("r1", "a"), ("r3", "c"),
+    ]

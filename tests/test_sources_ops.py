@@ -117,7 +117,10 @@ def test_c8_diff_events_deterministic(spark):
     assert a == b == c and len(a) > 0
     seqs = [r[0] for r in a]
     assert len(set(seqs)) == len(seqs), "seqs must be unique"
-    assert min(seqs) >= 10_000_000, "all seqs above base_seq"
+    # STRICTLY above: the merge is seq-conditional (s._seq > t._seq), so a
+    # generated D that TIES base_seq would be dropped when base_seq is the
+    # table's current max seq (the natural low watermark)
+    assert min(seqs) > 10_000_000, "all seqs strictly above base_seq"
     assert all(r[1] is not None for r in a)
 
 
