@@ -241,14 +241,12 @@ class IncrementalDedupPipeline:
         if src_cur is None or src_cur <= last:
             return {"refreshed": False, "cursor": last}
 
-        # rollback inside the window ⇒ the feed contains undone changes —
-        # rebuild from truth (same rule as plans/derived.py)
-        for v in range(last + 1, src_cur + 1):
-            try:
-                if "rolled_back_to" in commitlog.read_commit(self.source.table_dir, v):
-                    return self._full_rebuild(src_cur)
-            except SnapshotExpired:
-                return self._full_rebuild(src_cur)
+        # rollback/expiry inside the window ⇒ the feed can't be folded —
+        # rebuild from truth (shared rule: plans/cursor.py)
+        from foundry_es_spark.plans.cursor import window_invalidated
+
+        if window_invalidated(self.source.table_dir, last + 1, src_cur):
+            return self._full_rebuild(src_cur)
 
         try:
             feed = self.source.table_changes(from_version=last + 1, to_version=src_cur)

@@ -130,18 +130,15 @@ class DerivedTablePipeline:
             return {"refreshed": False, "cursor": last}
 
         from foundry_es_spark.lake.log import SnapshotExpired
+        from foundry_es_spark.plans.cursor import window_invalidated
 
         # A rollback inside the window means the feed contains changes that
         # were later UNDONE (and possibly changes this maintainer already
         # consumed that are now re-applied) — the increment can't be proven
         # from the feed alone, so recompute from truth. O(window) driver
         # JSON reads, same cost class as the feed's own commit-record walk.
-        for v in range(last + 1, src_cur + 1):
-            try:
-                if "rolled_back_to" in commitlog.read_commit(self.source.table_dir, v):
-                    return self._full_recompute(derived, src_cur)
-            except SnapshotExpired:
-                return self._full_recompute(derived, src_cur)
+        if window_invalidated(self.source.table_dir, last + 1, src_cur):
+            return self._full_recompute(derived, src_cur)
 
         try:
             feed = self.source.table_changes(from_version=last + 1, to_version=src_cur)
