@@ -57,11 +57,9 @@ def _doc_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             content_expr.alias("content"),
         )
 
-    from pyspark.sql import functions as F2
-
-    inserts = ev("I", 0, F2.col("text"))
-    updates = ev("U", 1, F2.concat(F2.col("text"), F2.lit("\nrevision 2")))
-    deletes = ev("D", 2, F2.lit(None).cast("string")).where(F2.pmod(F2.col("doc_id"), F2.lit(10)) == 0)
+    inserts = ev("I", 0, F.col("text"))
+    updates = ev("U", 1, F.concat(F.col("text"), F.lit("\nrevision 2")))
+    deletes = ev("D", 2, F.lit(None).cast("string")).where(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
     return inserts.unionByName(updates).unionByName(deletes)
 
 
@@ -119,10 +117,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB ANSI twins for every SQL-expressible query; hash-specific /
-    probabilistic / streaming-only operators are intentionally absent
+    probabilistic / non-SQL-expressible operators are intentionally absent
     (rows-only check): q8b_approx_distinct, dedup_minhash_lsh,
-    dedup_simhash(_pairs), ann_lsh_bucketed, ann_ivf_probe, text_lang_id,
-    text_lang_confusion, multimodal_frame_sample."""
+    dedup_simhash(_pairs), ann_lsh_bucketed, ann_ivf_probe, ann_ivf_pq,
+    text_pack_sequences, multimodal_frame_sample."""
     from foundry_es_spark.queries import all_oracles
 
     return all_oracles()

@@ -101,7 +101,7 @@ def multimodal_features(spark, sf):
 MULTIMODAL_SQL = """
 SELECT doc_id AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,  -- UTF-8 BYTES (length() counts chars)
        sha256(text) AS sha256
 FROM documents
 """

@@ -136,18 +136,24 @@ def q20b_session_windows(spark, sf):
     return _run_stream(spark, sf, build)
 
 
-# gaps-and-islands restatement; session end = last ts + gap (Spark semantics)
+# gaps-and-islands restatement; session end = last ts + gap (Spark
+# semantics). Two boundary details make the twin exact, not approximate:
+# the islands cumsum carries the SAME (ts, event_id) tie-break as the
+# marked CTE (ts-only ordering made session assignment nondeterministic
+# under tied timestamps), and the gap test is >= — Spark's session window
+# is end-EXCLUSIVE ([start, last+gap)), so an event at exactly lag+gap
+# starts a NEW session.
 Q20B_SQL = """
 WITH marked AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > INTERVAL 10 MINUTE OR
+                   >= INTERVAL 10 MINUTE OR
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 ), islands AS (
   SELECT user_id, ts,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sess_id
   FROM marked
 )

@@ -87,18 +87,27 @@ def q25b_map_in_pandas(spark, sf):
 
     def count_tokens(batches):
         for pdf in batches:
+            # nullable Int64: null text stays null (plain int64 raised on
+            # NaN); ''.split() == [] so empty/whitespace-only counts 0 —
+            # the oracle mirrors both boundaries explicitly
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_ws_tokens": pdf["text"].str.split().str.len().astype("int64"),
+                    "n_ws_tokens": pdf["text"].str.split().str.len().astype("Int64"),
                 }
             )
 
     return d.mapInPandas(count_tokens, schema="doc_id long, n_ws_tokens long")
 
 
+# Boundary parity with Python str.split(): null -> NULL, empty/whitespace-
+# only -> 0 (DuckDB's split of '' yields [''] -> 1, hence the CASE).
 Q25B_SQL = """
-SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens
+SELECT doc_id,
+       CAST(CASE WHEN text IS NULL THEN NULL
+                 WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+         AS n_ws_tokens
 FROM documents
 """
 

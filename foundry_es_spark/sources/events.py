@@ -20,8 +20,20 @@ def read_events_batch(
     spark: SparkSession, events_dir: str, extra: T.StructType | None = None
 ) -> DataFrame:
     """S2: the whole log as a bounded DataFrame (partition columns epoch/part
-    discovered from the directory layout; explicit schema, no inference)."""
-    return spark.read.option("basePath", events_dir).parquet(events_dir)
+    discovered from the directory layout). ``extra`` declares evolved payload
+    columns so the explicit schema enforces them even when early files lack
+    them; without it the schema comes from footer merging."""
+    if extra is None:
+        return spark.read.option("basePath", events_dir).parquet(events_dir)
+    fields = list(event_schema_with(extra).fields) + [
+        T.StructField("epoch", T.LongType(), True),
+        T.StructField("part", T.LongType(), True),
+    ]
+    return (
+        spark.read.schema(T.StructType(fields))
+        .option("basePath", events_dir)
+        .parquet(events_dir)
+    )
 
 
 def read_events_seq_range(

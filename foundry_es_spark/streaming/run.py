@@ -21,19 +21,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 from foundry_es_spark.plans import CdcPipeline
-from foundry_es_spark.schema import EVENT_SCHEMA
-
-
-def _stream_schema(extra: T.StructType | None) -> T.StructType:
-    fields = list(EVENT_SCHEMA.fields)
-    if extra is not None:
-        fields += list(extra.fields)
-    # partition-directory columns of the event-log layout
-    fields += [
-        T.StructField("epoch", T.LongType(), True),
-        T.StructField("part", T.LongType(), True),
-    ]
-    return T.StructType(fields)
+from foundry_es_spark.sources.events import read_events_stream
 
 
 def run_stream(
@@ -56,11 +44,11 @@ def run_stream(
     trigger (or a standalone `run_derived.py` pass) catches it up.
     Exactly-once on both tables, no coordination needed."""
 
-    stream = (
-        spark.readStream.schema(_stream_schema(extra_payload))
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("basePath", events_dir)
-        .parquet(events_dir)
+    # single source of truth for the stream source shape (S1):
+    # sources/events.py builds the explicit schema + readStream chain
+    stream = read_events_stream(
+        spark, events_dir, max_files_per_trigger=max_files_per_trigger,
+        extra=extra_payload,
     )
 
     def _body(batch_df, batch_id: int):
