@@ -123,6 +123,8 @@ def run_replay(
     epochs = sorted(
         int(d.split("=")[1]) for d in os.listdir(events_dir) if d.startswith("epoch=")
     )
+    if not epochs:
+        raise RuntimeError(f"no epoch= dirs under {events_dir}")
     from foundry_es_spark.plans import offsets_from_footers
 
     warmup = min(warmup, len(epochs) - 1)
@@ -203,6 +205,11 @@ def run_streaming_replay(spark, events_dir: str, table_dir: str, warmup: int = 1
         p["numInputRows"] / (p["durationMs"]["triggerExecution"] / 1000.0)
         for p in batches[min(warmup, max(0, len(batches) - 1)):]
     )
+    if not rates:
+        raise RuntimeError(
+            f"streaming replay reported no input rows over {events_dir} "
+            f"({len(prog)} progress entries) — source glob/layout mismatch?"
+        )
     med = rates[len(rates) // 2] if len(rates) % 2 else (
         rates[len(rates) // 2 - 1] + rates[len(rates) // 2]
     ) / 2
@@ -224,7 +231,13 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.monotonic()
         try:
             df = fn(spark, sf_dir)
-            df.count()  # full execution; collect cost excluded
+            # noop sink, NOT count(): Catalyst prunes unreferenced
+            # projections, pandas UDFs, and whole Window operators under a
+            # bare count() (verified on this PySpark), so projection-only
+            # queries would time a parquet row-count scan instead of their
+            # actual work. The noop v2 sink consumes every output column
+            # JVM-side with no write cost.
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.monotonic() - t0, 3)
         except Exception as exc:  # one broken query must not zero the board
             print(f"# bench query {name} FAILED: {exc}", file=sys.stderr)
@@ -386,7 +399,10 @@ def main() -> None:
         "replay_replication": replication,
         "replay_streaming": streaming,
         "cpus": args.cpus,
-        "query_total_sec": round(sum(queries.values()), 3),
+        # -1.0 marks a failed query; excluding it (and counting it) keeps
+        # the total honest instead of silently shrinking it per failure
+        "query_total_sec": round(sum(v for v in queries.values() if v >= 0), 3),
+        "queries_failed": sum(1 for v in queries.values() if v < 0),
     }
     # Full-fidelity record (full query names, per-epoch arrays) goes to a
     # file; stdout gets ONE compact JSON line. The driver harness captures a
