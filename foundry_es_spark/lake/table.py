@@ -115,6 +115,53 @@ def _file_key_fingerprints(path: str, key_col: str) -> str | None:
         return None
 
 
+def _driver_plan_ranges(
+    specs: list[dict], proj: dict, key_idx: list[int], range_target: int
+) -> list[str] | None:
+    """Driver twin of the merge kernel's task-side ``plan_ranges`` (same
+    row-group-stat math, same conservative None fallbacks): combined-key
+    range edges for splitting an OVERSIZED bucket's fused rewrite into
+    parallel per-range tasks. One footer read of the bucket's largest
+    file — the same driver budget class as ``_footer_key_bounds``.
+    Returns None (caller keeps the single-task path) when stats are
+    unusable or the file has too few row groups to split."""
+    import pyarrow.parquet as pq
+
+    SEP = "\x00"
+    sizes = [os.path.getsize(s["path"]) for s in specs]
+    total = sum(sizes)
+    n_ranges = max(2, -(-total // max(1, range_target)))
+    big = max(range(len(specs)), key=lambda i: sizes[i])
+    phys = [proj[specs[big]["sv"]][i] for i in key_idx]
+    if any(p is None for p in phys):
+        return None
+    try:
+        meta = pq.ParquetFile(specs[big]["path"]).metadata
+    except OSError:
+        return None
+    names = meta.schema.names
+    if any(p not in names for p in phys):
+        return None
+    cands = []
+    for rg in range(meta.num_row_groups):
+        his = []
+        for k in phys:
+            st = meta.row_group(rg).column(names.index(k)).statistics
+            if st is None or not st.has_min_max:
+                return None
+            if not (isinstance(st.min, str) and isinstance(st.max, str)):
+                return None
+            his.append(st.max)
+        cands.append(SEP.join(his))
+    if len(cands) < 2:
+        return None
+    step = max(1, len(cands) // n_ranges)
+    bounds = sorted(set(cands[step - 1 :: step]))[:-1]
+    if not bounds:
+        return None
+    return [""] + bounds + ["\U0010ffff" * 4]
+
+
 def bucket_expr(n_buckets: int):
     """Bucket assignment — pmod(xxhash64(repo), N). On the Iceberg backend
     this is the partition spec ``bucket(N, repo)``; co-locating a repo's
@@ -459,10 +506,35 @@ class LakeTable:
             by_bucket.setdefault(f["bucket"], []).append(
                 {"path": os.path.join(self.table_dir, f["path"]), "sv": f["schema_version"], "gen": gen}
             )
-        meta_rows = [(b, _json.dumps(specs)) for b, specs in sorted(by_bucket.items())]
         abs_write_dir = os.path.join(self.table_dir, write_rel) if write_rel else None
 
         range_target = self.merge_range_target_bytes
+        key_idx_drv = [cur_names.index(k) for k in key_cols]
+
+        # Fused-write mode (compaction / rebucket / tombstone GC): a bucket
+        # larger than range_target is split into PARALLEL per-range tasks —
+        # without this a skewed bucket (one hot repo = 20%+ of the table)
+        # rewrites in ONE task and its wall time caps the whole maintenance
+        # job at any cluster width. Edges come from one driver-side footer
+        # read of the bucket's largest file (the same row-group-stat math
+        # as the kernel's plan_ranges); when stats are unusable the bucket
+        # falls back to the single-task path, whose task-side sequential
+        # ranged merge still bounds MEMORY. Ranges partition the combined-
+        # key space, so per-range dedup stays complete, and every range
+        # task writes attempt-unique files — no coordination needed.
+        meta_rows = []
+        for b, specs in sorted(by_bucket.items()):
+            sj = _json.dumps(specs)
+            edges = None
+            if write_rel and sum(os.path.getsize(s["path"]) for s in specs) > range_target:
+                edges = _driver_plan_ranges(
+                    specs, proj, key_idx_drv, range_target
+                )
+            if edges is None:
+                meta_rows.append((b, sj, None, None))
+            else:
+                for lo, hi in zip(edges[:-1], edges[1:]):
+                    meta_rows.append((b, sj, lo, hi))
         rg_rows = self.parquet_row_group_rows
 
         def _merge_bucket(iterator):
@@ -771,6 +843,12 @@ class LakeTable:
                 for row in mb.to_pylist():
                     specs = _json.loads(row["files"])
                     b = int(row["bucket"])
+                    if row.get("lo") is not None:
+                        # driver-split range task: merge exactly this
+                        # (lo, hi] slice of the bucket (parallel with the
+                        # bucket's other ranges; files are attempt-unique)
+                        yield from merge_ranged(specs, b, [row["lo"], row["hi"]])
+                        continue
                     total = sum(os.path.getsize(s["path"]) for s in specs)
                     if filter_repos is None and total > range_target:
                         edges = plan_ranges(specs)
@@ -806,7 +884,9 @@ class LakeTable:
                             yield from emit(piece, b, i)
 
         rdd = self.spark.sparkContext.parallelize(meta_rows, max(1, len(meta_rows)))
-        meta_df = self.spark.createDataFrame(rdd, "bucket int, files string")
+        meta_df = self.spark.createDataFrame(
+            rdd, "bucket int, files string, lo string, hi string"
+        )
         result_schema = (
             "bucket int, path string, rows long, rmin string, rmax string, kfp string"
             if write_rel

@@ -285,3 +285,72 @@ def test_ranged_merge_bounded_memory_path(spark, tmp_path, monkeypatch):
     assert stats["files_written"] > len(buckets), "expected one file per range"
     assert not any(f.get("delta") for f in t._current()["files"])
     assert _digest(t.read()) == whole
+
+
+def test_compaction_splits_hot_bucket_into_parallel_range_tasks(
+    spark, tmp_path, monkeypatch
+):
+    """A skewed bucket (one hot repo = a large share of the table) used to
+    rewrite in ONE task during fused compaction — a straggler that caps the
+    maintenance job's wall time at any cluster width. The driver now splits
+    buckets above merge_range_target_bytes into per-range tasks (one footer
+    read of the bucket's largest file); state must be byte-identical to the
+    unsplit rewrite and the hot bucket must land as multiple range files."""
+    from foundry_es_spark.lake import LakeTable
+
+    tmp = str(tmp_path)
+    ev1 = gen_change_events(spark, n_events=4000, n_keys=800, hot_frac=0.5)
+    write_event_log(ev1, f"{tmp}/ev1", epoch_size=2000)
+    ev2 = gen_change_events(spark, n_events=2000, n_keys=800, hot_frac=0.5)
+    # shift past ev1's seq space so the second wave merges as fresh updates
+    ev2 = ev2.withColumn("seq", F.col("seq") + F.lit(4000))
+    write_event_log(ev2, f"{tmp}/ev2", epoch_size=1000)
+
+    # small row groups on the compacted base give the split real candidates
+    monkeypatch.setattr(LakeTable, "parquet_row_group_rows", 50)
+
+    def build(name, second_target=None):
+        p = CdcPipeline(
+            spark,
+            PipelineConfig(pipeline_id=name, table_dir=f"{tmp}/{name}",
+                           n_buckets=4, compact_threshold=999),
+        )
+        p.replay_event_dir(f"{tmp}/ev1")
+        p.table.compact_buckets(list(range(4)))  # multi-row-group base
+        p.replay_event_dir(f"{tmp}/ev2")
+        if second_target is not None:
+            monkeypatch.setattr(LakeTable, "merge_range_target_bytes",
+                                second_target)
+        p.table.compact_buckets(list(range(4)))
+        monkeypatch.setattr(LakeTable, "merge_range_target_bytes",
+                            512 * 1024 * 1024)
+        return p
+
+    ref = build("ref")
+    ref_digest = _digest(ref.table.read())
+    ref_files = {}
+    for f in ref.table._current()["files"]:
+        ref_files[f["bucket"]] = ref_files.get(f["bucket"], 0) + 1
+    assert set(ref_files.values()) == {1}, "unsplit rewrite: one file/bucket"
+
+    import os as _os
+
+    # size the threshold off the reference's hot bucket so only it splits
+    sizes = {}
+    for f in ref.table._current()["files"]:
+        fp = _os.path.join(ref.table.table_dir, f["path"])
+        sizes[f["bucket"]] = sizes.get(f["bucket"], 0) + _os.path.getsize(fp)
+    hot_bucket = max(sizes, key=sizes.get)
+
+    split = build("split", second_target=int(sizes[hot_bucket] / 2))
+    by_bucket = {}
+    for f in split.table._current()["files"]:
+        by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + 1
+    assert by_bucket[hot_bucket] >= 2, "hot bucket must split into range files"
+    assert _digest(split.table.read()) == ref_digest
+    # selective point lookup still prunes and answers correctly
+    one = split.table.read().limit(1).collect()[0]
+    got = split.table.read(repos=[one["repo"]]).where(
+        F.col("path") == one["path"]
+    ).collect()
+    assert len(got) == 1 and got[0]["content_sha256"] == one["content_sha256"]
