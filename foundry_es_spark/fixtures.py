@@ -203,7 +203,6 @@ def write_event_log(
     layout, epoch-chunked so batch replay and the file-stream source both
     consume it in bounded slices). Returns the number of epochs."""
     events = events.withColumn("epoch", (F.col("seq") / F.lit(epoch_size)).cast("long"))
-    n_epochs = events.agg(F.max("epoch")).collect()[0][0] + 1
     (
         events.repartition("epoch", "part")
         .sortWithinPartitions("seq")
@@ -211,7 +210,12 @@ def write_event_log(
         .partitionBy("epoch", "part")
         .parquet(out_dir)
     )
-    return int(n_epochs)
+    # epoch count from the written layout — the old max-epoch aggregate
+    # executed the full (window-shuffled) generation plan a SECOND time,
+    # doubling fixture cost at bench scale; and it crashed on empty input
+    import os as _os
+
+    return sum(1 for d in _os.listdir(out_dir) if d.startswith("epoch="))
 
 
 def gen_evolved_events(

@@ -45,8 +45,11 @@ from foundry_es_spark.lake.table import WIDENINGS, LakeField
 KEY_COLS = ("repo", "path")
 
 
-def _ddl(fields: list[tuple[str, str]]) -> str:
-    return ", ".join(f"{n} {t.upper()}" for n, t in fields)
+def _ddl(fields: list[tuple[str, str]], required: set[str] | None = None) -> str:
+    req = required or set()
+    return ", ".join(
+        f"{n} {t.upper()}" + (" NOT NULL" if n in req else "") for n, t in fields
+    )
 
 
 @dataclass
@@ -63,6 +66,7 @@ class IcebergBackend:
     fqtn: str
     n_buckets: int = 16
     merge_mode: str = "merge-on-read"  # Iceberg write.merge.mode
+    patch_mode: bool = False           # C9: source may carry sparse _op='P' rows
     execute: bool = False              # False = plan mode (no jar locally)
     sql_log: list[str] = field(default_factory=list)
     # plan-mode shadow state so the protocol behaves without a catalog
@@ -81,7 +85,14 @@ class IcebergBackend:
 
     def create(self, fields: list[tuple[str, str]]) -> "IcebergBackend":
         self._fields = [LakeField(i + 1, n, t) for i, (n, t) in enumerate(fields)]
-        cols = _ddl([(f.name, f.type) for f in self._fields] + [("_seq", "bigint"), ("_op", "string")])
+        # identifier fields MUST be declared NOT NULL — Iceberg rejects
+        # SET IDENTIFIER FIELDS on nullable columns; _seq/_op are engine
+        # invariants (every row carries them) so they are required too
+        cols = _ddl(
+            [(f.name, f.type) for f in self._fields]
+            + [("_seq", "bigint"), ("_op", "string")],
+            required=set(KEY_COLS) | {"_seq", "_op"},
+        )
         self._run(
             f"""CREATE TABLE IF NOT EXISTS {self.fqtn} ({cols})
             USING iceberg
@@ -217,8 +228,12 @@ class IcebergBackend:
         patches so the table never contains partial-image markers."""
         on = " AND ".join(f"t.{k} = s.{k}" for k in KEY_COLS)
         cols = [f.name for f in self._fields]
+        # key columns never coalesce (they are equal by the ON clause and
+        # non-null by validity); only payload columns patch per-column
         sets = ", ".join(
-            f"t.{c} = CASE WHEN s._op = 'P' THEN coalesce(s.{c}, t.{c}) ELSE s.{c} END"
+            f"t.{c} = s.{c}"
+            if c in KEY_COLS
+            else f"t.{c} = CASE WHEN s._op = 'P' THEN coalesce(s.{c}, t.{c}) ELSE s.{c} END"
             for c in cols
         )
         sets += ", t._seq = s._seq, t._op = CASE WHEN s._op = 'P' THEN 'U' ELSE s._op END"
@@ -238,7 +253,14 @@ class IcebergBackend:
         view = "graft_merge_src"
         if self.execute:
             batch.createOrReplaceTempView(view)
-        self._run(self.merge_sql(view))
+        # C9: a patch-enabled pipeline may deliver sparse _op='P' rows
+        # (patch_resolve='merge'); the plain statement would null-clobber
+        # matched rows and insert orphan patches. merge_patch_sql degrades
+        # to the plain semantics when no P rows are present, so dispatch on
+        # the configured mode, not the data.
+        self._run(
+            self.merge_patch_sql(view) if self.patch_mode else self.merge_sql(view)
+        )
         if callable(info):
             # The info callback may carry Observation-backed stats that only
             # resolve once the source plan has EXECUTED (the pipeline's
@@ -276,7 +298,11 @@ class IcebergBackend:
     def compact_buckets(self, buckets: list[int], files_per_bucket: int = 1) -> dict:
         catalog = self.fqtn.split(".")[0]
         tbl = self.fqtn.split(".", 1)[1]
-        where = " OR ".join(f"partition.repo_bucket = {b}" for b in buckets)
+        # `system.bucket(N, col)` is the Iceberg Spark function form the
+        # rewrite procedure's where-filter resolves against TABLE columns
+        # (Iceberg >= 1.4); `partition.repo_bucket` is metadata-table
+        # syntax and does not resolve as a row predicate.
+        where = f"system.bucket({self.n_buckets}, repo) IN ({', '.join(str(b) for b in sorted(buckets))})"
         self._run(
             f"""CALL {catalog}.system.rewrite_data_files(
               table => '{tbl}',

@@ -96,3 +96,33 @@ def table_digest(df: pd.DataFrame) -> str:
         h.update(line.encode("utf-8"))
         h.update(b"\n")
     return h.hexdigest()
+
+
+def spark_table_digest(df) -> str:
+    """Spark-side twin of :func:`table_digest` — BIT-IDENTICAL framing:
+    lines sorted by (repo, path) tuples (not by the rendered line — '|'
+    sorts above digits, so line-sorting flips 'repo1' vs 'repo10'), a
+    trailing newline after EVERY line, and the same null rendering as the
+    pandas f-string. Determinism: collect_list is order-unstable across
+    partitions, so the list is sort_array'd on a (repo, path, line) struct
+    before folding — two identical replays always print the same digest.
+    One final-reducer string build: this is the explicit verification
+    query (--verify-digest), not a hot path."""
+    from pyspark.sql import functions as F
+
+    sha = (
+        F.col("content_sha256")
+        if "content_sha256" in df.columns
+        else F.sha2(F.col("content"), 256)
+    )
+
+    def r(c):  # pandas f-string renders None as 'None'
+        return F.coalesce(F.col(c).cast("string"), F.lit("None"))
+
+    line = F.concat_ws("|", r("repo"), r("path"), r("commit"), r("lang"), sha)
+    sel = df.select(F.col("repo"), F.col("path"), line.alias("l"))
+    arr = F.sort_array(F.collect_list(F.struct("repo", "path", "l")))
+    folded = F.aggregate(
+        arr, F.lit(""), lambda acc, x: F.concat(acc, x["l"], F.lit("\n"))
+    )
+    return sel.agg(F.sha2(folded, 256).alias("digest")).collect()[0]["digest"]

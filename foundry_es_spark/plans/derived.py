@@ -11,11 +11,15 @@ SURVEY.md §0]; here the mechanism is Spark-native and lake-native:
   O(schema-versions) commit-range change feed (one multi-path parquet scan
   per schema version, not per commit).
 - **Refresh strategy — partial recompute**: the feed window names the
-  *touched groups* (distinct group keys among changed rows); only those
-  groups are re-aggregated, from a bucket-pruned selective read of the
-  source snapshot (``read(repos=...)`` opens only the touched buckets'
-  files, then parquet min/max row-group stats prune within them).
-  Work per refresh ∝ data of the touched groups, never table size.
+  *touched repos* (the immutable key prefix every group lives inside);
+  ALL groups of those repos are re-aggregated from a bucket-pruned
+  selective read of the source snapshot (``read(repos=...)`` opens only
+  the touched buckets' files, then parquet min/max row-group stats prune
+  within them). Repo-level — not group-tuple-level — pruning is what
+  makes deletes and group-changing updates correct: a tombstone carries
+  NULL non-key payload and an update only names its NEW group, so the
+  old group must be rediscovered from truth. Work per refresh ∝ data of
+  the touched repos, never table size.
   Partial recompute sidesteps the retraction bookkeeping a delta-algebra
   maintainer needs (the feed carries post-images only): updates and
   deletes are handled for free because the group is rebuilt from truth.
@@ -26,10 +30,10 @@ SURVEY.md §0]; here the mechanism is Spark-native and lake-native:
   recomputes the same groups from the (possibly newer) snapshot —
   re-aggregation from truth is idempotent and self-healing, so a group
   can never be left stale or doubled.
-- **Vanished groups**: a group present in the feed window but absent from
-  the live snapshot (all its rows tombstoned) merges as a ``D`` tombstone
-  — deletion-by-absence at the derived level.
-- **Scale guard**: when a window touches more groups than
+- **Vanished groups**: a previously-derived group of a touched repo that
+  is absent from the recompute (last member deleted or moved group)
+  merges as a ``D`` tombstone — deletion-by-absence at the derived level.
+- **Scale guard**: when a window touches more repos than
   ``max_selective_groups`` the maintainer switches to a full recompute
   (one scan + overwrite) — past that point one scan is cheaper than many
   selective reads, and the cursor still advances atomically with it.
@@ -142,44 +146,43 @@ class DerivedTablePipeline:
 
         try:
             feed = self.source.table_changes(from_version=last + 1, to_version=src_cur)
-            # Distinct group keys among changed rows: metadata-scale (bounded
-            # by groups touched in the window, not rows), and the driver needs
-            # the list anyway to prune the selective read + the derived merge.
-            touched = [
-                tuple(r) for r in
-                feed.select(*self.cfg.group_cols).distinct().limit(
+            # Touched REPOS, not full group tuples: the repo is the
+            # immutable key prefix, so every group a changed row can enter
+            # OR leave lives inside its repo. Pruning by the feed's full
+            # group tuple was wrong for multi-column group_cols — a delete
+            # tombstone carries NULL non-key payload (touched = (R, NULL))
+            # and a group-changing update only names the NEW group, so the
+            # OLD group was never re-aggregated and stayed stale forever.
+            # Recompute every group of the touched repos from truth; work
+            # per refresh is still ∝ touched repos' data, never table size.
+            repos = sorted(
+                r[0] for r in
+                feed.select("repo").distinct().limit(
                     self.cfg.max_selective_groups + 1
                 ).collect()
-            ]
+            )
         except SnapshotExpired:
             # cursor fell behind the source's retention window — the feed
             # can no longer prove which groups changed, so recompute all
             # (never silently skip history)
             return self._full_recompute(derived, src_cur)
-        if not touched:
+        if not repos:
             # metadata-only source commits (fences, compaction) — advance
             # the cursor without touching data
             self._set_cursor_only(derived, src_cur)
             return {"refreshed": True, "cursor": src_cur, "groups": 0}
 
-        if len(touched) > self.cfg.max_selective_groups:
+        if len(repos) > self.cfg.max_selective_groups:
             return self._full_recompute(derived, src_cur)
 
-        repos = sorted({t[0] for t in touched})
         snap = self.source.read(repos=repos)  # bucket-pruned selective read
-        if len(self.cfg.group_cols) > 1:
-            # prune non-repo group dims too (repo pruning already bounded IO;
-            # this bounds the aggregate's input rows)
-            tdf = self.spark.createDataFrame(touched, schema=snap.select(
-                *self.cfg.group_cols).schema)
-            snap = snap.join(F.broadcast(tdf), on=self.cfg.group_cols, how="left_semi")
         agg = self._aggregate(snap)
 
-        # vanished groups: touched by the window, gone from the snapshot
-        tdf = self.spark.createDataFrame(
-            touched, schema=agg.select(*self.cfg.group_cols).schema
-        )
-        gone = tdf.join(agg, on=self.cfg.group_cols, how="left_anti")
+        # vanished groups: previously-derived groups of the touched repos
+        # absent from the recompute (their last member was deleted or moved
+        # group). Derived-side selective read — bucket-pruned and tiny.
+        prev = derived.read(repos=repos).select(*self.cfg.group_cols)
+        gone = prev.join(agg, on=self.cfg.group_cols, how="left_anti")
         agg_cols = [f for f in agg.columns if f not in self.cfg.group_cols]
         gone = gone.select(
             *self.cfg.group_cols,
@@ -200,13 +203,13 @@ class DerivedTablePipeline:
                 derived._buckets_for_repos(repos, derived._current()["n_buckets"])
             ),
             props_update={self._cursor_key: str(src_cur)},
-            info={"refreshed_groups": len(touched), "source_from": last + 1,
+            info={"refreshed_repos": len(repos), "source_from": last + 1,
                   "source_to": src_cur},
         )
         return {
             "refreshed": True,
             "cursor": src_cur,
-            "groups": len(touched),
+            "repos": len(repos),
             "mode": "selective",
             **stats,
         }

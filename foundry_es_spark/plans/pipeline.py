@@ -312,6 +312,12 @@ class CdcPipeline:
             # pre-created backends simply skip this)
             if not be.schema_fields() and hasattr(be, "create"):
                 be.create(fields)
+            # C9: a patch-enabled pipeline can deliver sparse _op='P' rows
+            # to the sink (patch_resolve='merge'); backends whose MERGE
+            # statement must coalesce-per-column instead of overwriting
+            # expose a patch_mode switch (IcebergBackend.merge_patch_sql).
+            if self.cfg.patch_ops and hasattr(be, "patch_mode"):
+                be.patch_mode = True
             return be
         if LakeTable.exists(self.cfg.table_dir):
             return LakeTable(

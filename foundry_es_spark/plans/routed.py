@@ -66,7 +66,16 @@ class RoutedPipeline:
 
     def apply_epoch(self, batch: DataFrame, epoch_id: int) -> dict:
         """Apply one epoch to every route. Idempotent per route: on retry,
-        already-fenced routes skip and unfenced ones land exactly once."""
+        already-fenced routes skip and unfenced ones land exactly once.
+
+        Deliberately NO ``offsets_from_footers`` hint here (unlike
+        CdcPipeline.replay_event_dir): footer stats describe the UNFILTERED
+        epoch, while each route's lineage must record the events IT
+        consumed — so every route pays the light filtered pre-scan
+        aggregate. Exact per-route lineage over one extra narrow job per
+        route is the right trade; a deployment that prefers whole-stream
+        offset semantics can pass the hint to the per-route pipelines
+        directly."""
         out: dict[str, dict] = {}
         for r in self.routes:
             out[r.name] = self.pipes[r.name].apply_epoch(

@@ -43,7 +43,13 @@ def get_spark(
         )
     if shuffle_partitions is None:
         n = master.split("[")[-1].rstrip("]")
-        cores = os.cpu_count() or 8 if n in ("*", "") else int(n)
+        try:
+            cores = os.cpu_count() or 8 if n in ("*", "") else int(n)
+        except ValueError:
+            # non-local master (spark://, yarn, k8s): the driver cannot
+            # know executor width up front — size by this host and let the
+            # deployer override explicitly
+            cores = os.cpu_count() or 8
         shuffle_partitions = max(8, cores)
 
     builder = (

@@ -33,6 +33,7 @@ def run_stream(
     extra_payload: T.StructType | None = None,
     await_termination: bool = False,
     derived: list | None = None,
+    continuous: bool = False,
 ):
     """Start (or resume from `checkpoint_dir`) the streaming replay query.
 
@@ -56,12 +57,14 @@ def run_stream(
         for m in derived or ():
             m.refresh()
 
-    query = (
-        stream.writeStream.foreachBatch(_body)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(_body).option(
+        "checkpointLocation", checkpoint_dir
     )
+    # availableNow drains the current backlog and exits (bounded replay /
+    # tests); continuous keeps the micro-batch query live for new event
+    # files — the long-running ingest deployment shape
+    writer = writer if continuous else writer.trigger(availableNow=True)
+    query = writer.start()
     if await_termination:
         query.awaitTermination()
     return query

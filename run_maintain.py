@@ -86,7 +86,12 @@ def main() -> None:
 
     if not args.skip_compact:
         gens = t.bucket_delta_generations()
-        due = sorted(b for b, g in gens.items() if g >= max(1, args.compact_threshold))
+        if args.compact_threshold <= 0:
+            # 0 = always: rewrite every bucket that has ANY file (binpack
+            # fragmented bases too, not just delta-bearing buckets)
+            due = sorted(table.bucket_file_counts())
+        else:
+            due = sorted(b for b, g in gens.items() if g >= args.compact_threshold)
         if due:
             stats = _step(lambda: t.compact_buckets(
                 due, files_per_bucket=args.files_per_bucket

@@ -93,6 +93,7 @@ def main() -> None:
         max_files_per_trigger=args.max_files_per_trigger,
         await_termination=False,
         derived=maintainers,
+        continuous=args.continuous,
     )
     query.awaitTermination()
     lineage = pipe.lineage()

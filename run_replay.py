@@ -73,23 +73,13 @@ def main() -> None:
         "final_rows": pipe.table.read().count(),
     }
     if args.verify_digest:
-        # BASELINE.json verification query: per-row content sha256 rollup.
-        # Replication shape (--no-normalize) has no stored sha column, so
-        # compute it from content — same per-row invariant either way.
-        state = pipe.table.read()
-        sha = (
-            F.col("content_sha256")
-            if "content_sha256" in state.columns
-            else F.sha2(F.col("content"), 256)
-        )
-        row = (
-            state
-            .select(F.concat_ws("|", "repo", "path", "commit", "lang", sha).alias("l"))
-            .orderBy("l")
-            .agg(F.sha2(F.concat_ws("\n", F.collect_list("l")), 256).alias("digest"))
-            .collect()[0]
-        )
-        out["digest"] = row["digest"]
+        # BASELINE.json verification query: per-row content sha256 rollup,
+        # bit-identical to the pandas oracle's table_digest (deterministic
+        # sort_array framing — the old orderBy+collect_list form was
+        # cross-partition order-unstable and framed lines differently).
+        from foundry_es_spark.oracle import spark_table_digest
+
+        out["digest"] = spark_table_digest(pipe.table.read())
     print(json.dumps(out))
 
 

@@ -170,7 +170,7 @@ def test_selective_refresh_touches_only_changed_groups(spark, tmp_path):
     pipe.apply_epoch(upd, 60)
 
     stats = d.refresh()
-    assert stats["refreshed"] and stats["groups"] == 1 and stats["mode"] == "selective"
+    assert stats["refreshed"] and stats["repos"] == 1 and stats["mode"] == "selective"
     # only ONE derived bucket rewritten for a one-repo window
     assert stats["buckets_rewritten"] == 1
     assert _rows(d.read()) == _rows(_expected(pipe.table))
@@ -242,3 +242,64 @@ def test_source_rollback_forces_full_recompute(spark, tmp_path):
         assert not r["skipped"]
     d.refresh()
     assert _rows(d.read()) == _rows(_expected(pipe.table))
+
+
+def test_multi_group_cols_delete_and_group_move(spark, tmp_path):
+    """Multi-column group_cols regression: a delete tombstone carries NULL
+    non-key payload and a group-changing update only names its NEW group,
+    so group-tuple-level pruning left the OLD (repo, lang) group stale
+    forever. Repo-level recompute must tombstone the emptied group and
+    correct both sides of a lang move."""
+    from foundry_es_spark.plans.derived import DerivedConfig, DerivedTablePipeline
+
+    tmp = str(tmp_path)
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(pipeline_id="src", table_dir=f"{tmp}/src", n_buckets=4,
+                       normalize=False),
+    )
+
+    def ev(rows, epoch):
+        df = spark.createDataFrame(
+            rows,
+            "seq long, repo string, path string, op string, commit string, "
+            "lang string, content string, part int",
+        ).withColumn("ts", F.timestamp_millis(F.col("seq") * 1000))
+        pipe.apply_epoch(df, epoch)
+
+    ev([(0, "r1", "a", "I", "c0", "python", "x", 0),
+        (1, "r1", "b", "I", "c0", "python", "y", 0),
+        (2, "r1", "c", "I", "c0", "c", "z", 0),
+        (3, "r2", "d", "I", "c0", "rust", "w", 0)], 0)
+
+    d = DerivedTablePipeline(
+        spark, pipe.table,
+        DerivedConfig(name="bylang", derived_dir=f"{tmp}/d",
+                      group_cols=["repo", "lang"], n_buckets=4),
+        [F.count("*").alias("n_paths")],
+    )
+    d.refresh()
+
+    def got():
+        return sorted(tuple(r) for r in d.read().collect())
+
+    def expect():
+        return sorted(
+            tuple(r)
+            for r in pipe.table.read().groupBy("repo", "lang")
+            .agg(F.count("*").alias("n_paths")).collect()
+        )
+
+    assert got() == expect()
+
+    # delete the ONLY 'c' doc (tombstone has NULL lang) and move one
+    # python doc to 'go' (old group only shrinks, new group appears)
+    ev([(10, "r1", "c", "D", None, None, None, 0),
+        (11, "r1", "a", "U", "c1", "go", "x2", 0)], 1)
+    stats = d.refresh()
+    assert stats["mode"] == "selective"
+    assert got() == expect()
+    rows = dict(((r[0], r[1]), r[2]) for r in got())
+    assert ("r1", "c") not in rows, "emptied group must tombstone"
+    assert rows[("r1", "python")] == 1 and rows[("r1", "go")] == 1
+    assert rows[("r2", "rust")] == 1  # untouched repo untouched

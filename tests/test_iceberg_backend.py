@@ -27,8 +27,12 @@ def be(spark):
 def test_create_ddl_golden(be):
     create, ident = be.sql_log[0], be.sql_log[1]
     assert create == (
-        "CREATE TABLE IF NOT EXISTS lake.db.code (repo STRING, path STRING, "
-        "commit STRING, lang STRING, content STRING, _seq BIGINT, _op STRING) "
+        # identifier fields and the engine-invariant system columns are
+        # NOT NULL — Iceberg rejects SET IDENTIFIER FIELDS on nullables
+        "CREATE TABLE IF NOT EXISTS lake.db.code (repo STRING NOT NULL, "
+        "path STRING NOT NULL, "
+        "commit STRING, lang STRING, content STRING, _seq BIGINT NOT NULL, "
+        "_op STRING NOT NULL) "
         "USING iceberg PARTITIONED BY (bucket(32, repo)) TBLPROPERTIES ( "
         "'format-version' = '2', 'write.merge.mode' = 'merge-on-read', "
         "'write.update.mode' = 'merge-on-read', 'write.delete.mode' = 'merge-on-read', "
@@ -66,8 +70,8 @@ def test_merge_patch_sql_golden(be):
         "ON t.repo = s.repo AND t.path = s.path "
         "WHEN MATCHED AND s._seq > t._seq AND s._op = 'D' THEN DELETE "
         "WHEN MATCHED AND s._seq > t._seq THEN UPDATE SET "
-        "t.repo = CASE WHEN s._op = 'P' THEN coalesce(s.repo, t.repo) ELSE s.repo END, "
-        "t.path = CASE WHEN s._op = 'P' THEN coalesce(s.path, t.path) ELSE s.path END, "
+        "t.repo = s.repo, "
+        "t.path = s.path, "
         "t.commit = CASE WHEN s._op = 'P' THEN coalesce(s.commit, t.commit) ELSE s.commit END, "
         "t.lang = CASE WHEN s._op = 'P' THEN coalesce(s.lang, t.lang) ELSE s.lang END, "
         "t.content = CASE WHEN s._op = 'P' THEN coalesce(s.content, t.content) ELSE s.content END, "
@@ -108,8 +112,10 @@ def test_fence_and_compaction_golden(be):
     be.compact_buckets([3, 9])
     assert be.sql_log[-1] == (
         "CALL lake.system.rewrite_data_files( table => 'db.code', "
-        "strategy => 'binpack', where => 'partition.repo_bucket = 3 OR "
-        "partition.repo_bucket = 9', "
+        # system.bucket resolves against table columns in the rewrite
+        # procedure's where (Iceberg >= 1.4); partition.repo_bucket is
+        # metadata-table syntax and would not resolve as a row predicate
+        "strategy => 'binpack', where => 'system.bucket(32, repo) IN (3, 9)', "
         "options => map('delete-file-threshold', '1') )"
     )
 
@@ -251,3 +257,34 @@ def test_time_travel_and_changelog_golden(be):
     be.table_changes(1)
     assert any("VERSION AS OF 1" in s for s in be.sql_log)
     assert any("create_changelog_view" in s for s in be.sql_log)
+
+
+def test_patch_pipeline_dispatches_patch_merge(spark):
+    """A patch-enabled pipeline must flip the backend into patch-mode MERGE:
+    the plain statement would null-clobber matched rows from sparse 'P'
+    sources and insert orphan patches (violating the orphan-no-op rule)."""
+    from foundry_es_spark.plans import CdcPipeline, PipelineConfig
+
+    be = IcebergBackend(spark, "lake.db.patchy", n_buckets=8)
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(pipeline_id="pp", table_dir="", backend=be,
+                       normalize=False, patch_ops=True, patch_resolve="merge"),
+    )
+    assert pipe.ensure_table() is be and be.patch_mode is True
+    be.merge_upsert(None)  # plan mode: no source view needed
+    stmt = be.sql_log[-1]
+    assert "coalesce(s.repo, t.repo)" not in stmt  # keys never coalesce
+    assert "CASE WHEN s._op = 'P' THEN coalesce(s.commit, t.commit)" in stmt
+    assert "WHEN NOT MATCHED AND s._op NOT IN ('D', 'P')" in stmt
+
+    # without patch_ops the plain statement is kept
+    be2 = IcebergBackend(spark, "lake.db.plain", n_buckets=8)
+    CdcPipeline(
+        spark,
+        PipelineConfig(pipeline_id="pl", table_dir="", backend=be2,
+                       normalize=False),
+    ).ensure_table()
+    assert be2.patch_mode is False
+    be2.merge_upsert(None)
+    assert "WHEN NOT MATCHED AND s._op != 'D'" in be2.sql_log[-1]

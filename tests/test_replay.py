@@ -148,3 +148,30 @@ def test_calendar_invalid_date_token_is_not_a_poison_pill(spark, tmp_path):
     by_raw = {d["raw"]: d["d"] for d in row["dates"]}
     assert by_raw["2024-13-99"] is None
     assert str(by_raw["2024-01-02"]) == "2024-01-02"
+
+
+def test_spark_table_digest_matches_pandas_oracle(spark, tmp_path):
+    """run_replay's --verify-digest rollup must be BIT-identical to the
+    pandas oracle's table_digest (sort by (repo,path) tuples — not rendered
+    lines, where '|' outsorts digits and flips repo1/repo10 — trailing
+    newline per line, None rendering) and deterministic under any physical
+    layout (the old orderBy+collect_list form was cross-partition
+    order-unstable)."""
+    from foundry_es_spark.oracle import spark_table_digest
+
+    tmp = str(tmp_path)
+    events = gen_change_events(spark, n_events=3000, n_keys=400, n_repos=25)
+    write_event_log(events, f"{tmp}/events", epoch_size=1000)
+    pipe = CdcPipeline(
+        spark, PipelineConfig(pipeline_id="dg", table_dir=f"{tmp}/t", n_buckets=4)
+    )
+    pipe.replay_event_dir(f"{tmp}/events")
+    state = pipe.table.read()
+    want = table_digest(
+        state.select("repo", "path", "commit", "lang", "content_sha256").toPandas()
+    )
+    assert spark_table_digest(state) == want
+    assert spark_table_digest(state.repartition(13)) == want
+    assert spark_table_digest(state.coalesce(1)) == want
+    # replication shape: digest from content when no stored sha column
+    assert spark_table_digest(state.drop("content_sha256")) == want
