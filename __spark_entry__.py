@@ -30,37 +30,13 @@ WORK_DIR = "/tmp/foundry_es_entry"
 
 
 def _doc_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic change stream over the documents table: every doc is
-    Inserted, then Updated with a revised body; every 10th doc is Deleted.
-    Base-row shape per BASELINE.json input_hint (repo,path,commit,lang,
-    content)."""
-    from pyspark.sql import functions as F
+    """Deterministic change stream over the documents table — shared with
+    the declarative source registry's `doc_changes` ingest method (see
+    foundry_es_spark/fixtures.py:doc_change_events), so a config file
+    reproduces this flagship bit-identically."""
+    from foundry_es_spark.fixtures import doc_change_events
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    base = d.select(
-        F.concat(F.lit("corpus/"), F.col("source")).alias("repo"),
-        F.concat(F.lit("docs/doc_"), F.col("doc_id"), F.lit(".txt")).alias("path"),
-        F.col("lang"),
-        F.col("text"),
-        F.col("doc_id"),
-    )
-
-    def ev(op, seq_off, content_expr):
-        return base.select(
-            (F.col("doc_id") * 3 + seq_off).alias("seq"),
-            F.timestamp_millis(F.lit(1767225600000) + (F.col("doc_id") * 3 + seq_off) * 10).alias("ts"),
-            F.lit(op).alias("op"),
-            "repo",
-            "path",
-            F.when(F.lit(op) != "D", F.sha1(F.concat_ws("|", "repo", "path", F.lit(str(seq_off))))).alias("commit"),
-            F.when(F.lit(op) != "D", F.col("lang")).alias("lang"),
-            content_expr.alias("content"),
-        )
-
-    inserts = ev("I", 0, F.col("text"))
-    updates = ev("U", 1, F.concat(F.col("text"), F.lit("\nrevision 2")))
-    deletes = ev("D", 2, F.lit(None).cast("string")).where(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
-    return inserts.unionByName(updates).unionByName(deletes)
+    return doc_change_events(spark, sf_dir)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -250,3 +250,45 @@ def gen_evolved_events(
         .withColumn("n_stars", F.when(F.col("op") != "D", stars_big))
     )
     return phase_a, phase_b, phase_c
+
+
+def doc_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic change stream over the testdata `documents` table:
+    every doc is Inserted, then Updated with a revised body; every 10th
+    doc is Deleted. Base-row shape per BASELINE.json input_hint
+    (repo, path, commit, lang, content). Shared by the driver's flagship
+    ``entry()`` and the declarative `doc_changes` ingest method
+    (spec/source.py) — the spec layer reproduces entry() bit-identically
+    because both run exactly this synthesis."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = d.select(
+        F.concat(F.lit("corpus/"), F.col("source")).alias("repo"),
+        F.concat(F.lit("docs/doc_"), F.col("doc_id"), F.lit(".txt")).alias("path"),
+        F.col("lang"),
+        F.col("text"),
+        F.col("doc_id"),
+    )
+
+    def ev(op, seq_off, content_expr):
+        return base.select(
+            (F.col("doc_id") * 3 + seq_off).alias("seq"),
+            F.timestamp_millis(
+                F.lit(EPOCH_TS_MS) + (F.col("doc_id") * 3 + seq_off) * 10
+            ).alias("ts"),
+            F.lit(op).alias("op"),
+            "repo",
+            "path",
+            F.when(
+                F.lit(op) != "D",
+                F.sha1(F.concat_ws("|", "repo", "path", F.lit(str(seq_off)))),
+            ).alias("commit"),
+            F.when(F.lit(op) != "D", F.col("lang")).alias("lang"),
+            content_expr.alias("content"),
+        )
+
+    inserts = ev("I", 0, F.col("text"))
+    updates = ev("U", 1, F.concat(F.col("text"), F.lit("\nrevision 2")))
+    deletes = ev("D", 2, F.lit(None).cast("string")).where(
+        F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    )
+    return inserts.unionByName(updates).unionByName(deletes)

@@ -12,6 +12,7 @@ from __future__ import annotations
 from foundry_es_spark.queries import (
     analytics,
     dedup,
+    mapped,
     multimodal,
     relational,
     similarity,
@@ -20,7 +21,10 @@ from foundry_es_spark.queries import (
     udf_q,
 )
 
-_MODULES = [relational, analytics, streaming_q, udf_q, dedup, similarity, textstats, multimodal]
+_MODULES = [
+    relational, analytics, streaming_q, udf_q, dedup, similarity, textstats,
+    multimodal, mapped,
+]
 
 
 # Entries whose driver row matters most, one representative per family
@@ -51,16 +55,20 @@ _BOARD_PRIORITY = [
     "dedup_cluster", "dedup_cluster_collapse",
     # similarity family
     "ann_bruteforce_topk", "embedding_cosine_near_dup",
-    # text / DATS family
-    "dats_nested_metadata", "text_quality_score", "text_token_count",
-    "text_fingerprint", "text_lang_id", "text_lang_confusion",
+    # text / DATS family + the declarative mapping layer (spec/) — one
+    # board row proves the JSONPath→DATS mapping compiler end-to-end
+    "dats_nested_metadata", "mapped_source_extract", "text_quality_score",
+    "text_token_count", "text_fingerprint", "text_lang_id",
     "text_gopher_filter", "text_repetition_topgram", "text_chunk_windows",
     "text_decontaminate", "text_tfidf_topk",
     # multimodal + corpus curation (corpus_curate_e2e composes gopher
     # filter -> exact dedup -> decontamination -> domain cap, so one board
     # row witnesses all four stages)
-    "multimodal_features", "corpus_curate_e2e", "corpus_domain_cap",
-    "corpus_mix_budget",
+    "multimodal_features", "corpus_curate_e2e",
+    # past the driver's 50-row cap: family siblings already proven above
+    # (text_lang_confusion by text_lang_id; the corpus caps by
+    # corpus_curate_e2e which ends in a domain cap)
+    "text_lang_confusion", "corpus_domain_cap", "corpus_mix_budget",
 ]
 
 

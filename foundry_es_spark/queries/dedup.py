@@ -380,7 +380,13 @@ FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 # --------------------------------------------------- duplicate clustering
 
 
-def dedup_cluster(spark, sf, chunk_words: int = 8, max_iter: int = 16):
+def dedup_cluster(
+    spark,
+    sf,
+    chunk_words: int = 8,
+    max_iter: int = 16,
+    checkpoint_dir: str | None = None,
+):
     """Connected components over the duplicate graph — the cluster-collapse
     step of a dedup pipeline (pairs alone can't pick one representative
     when A~B and B~C but A!~C). cluster_id = min doc_id in the component.
@@ -410,8 +416,18 @@ def dedup_cluster(spark, sf, chunk_words: int = 8, max_iter: int = 16):
     the end (`coalesce(label, doc_id)`), so at 100 TB the iteration cost
     scales with duplicate-graph size (small) not corpus size.
     `localCheckpoint` truncates the growing lineage so round k's plan does
-    not replay rounds 1..k-1.
+    not replay rounds 1..k-1. localCheckpoint stores blocks on executors,
+    so on a real cluster one lost executor kills the job mid-iteration;
+    pass ``checkpoint_dir`` (HDFS/S3 path on a cluster) to use reliable
+    ``DataFrame.checkpoint()`` instead — identical labels, fault-tolerant
+    lineage truncation. Local default stays executor-resident (cheaper,
+    and a single-JVM local run has no executor-loss mode).
     """
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        _truncate = lambda df: df.checkpoint()  # noqa: E731
+    else:
+        _truncate = lambda df: df.localCheckpoint()  # noqa: E731
     d = table(spark, sf, "documents")
     words = F.split(F.lower(F.col("text")), r"\s+")
     n_chunks = F.floor(F.size("w") / chunk_words).cast("int")
@@ -447,12 +463,12 @@ def dedup_cluster(spark, sf, chunk_words: int = 8, max_iter: int = 16):
         .unionByName(pair.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         # materialize once: the loop re-references edges every round, and
         # without this each round would replay the shingle/Jaccard scan
-        .localCheckpoint()
     )
+    edges = _truncate(edges)
     # CC runs over nodes that appear in ANY edge; everything else is a
     # singleton and never enters the loop.
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    labels = _truncate(nodes.select("doc_id", F.col("doc_id").alias("label")))
     for _ in range(max_iter):
         prop = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -468,7 +484,8 @@ def dedup_cluster(spark, sf, chunk_words: int = 8, max_iter: int = 16):
                 "label",
             )
             .select("doc_id", F.least("ll", "label").alias("label"))
-        ).localCheckpoint()
+        )
+        jumped = _truncate(jumped)
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "doc_id")

@@ -37,7 +37,13 @@ def _events_stream_dir(sf: str) -> str:
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "part-0.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf}/events.parquet"), link)
+        # two sessions may race on the same sf dir; symlink creation is
+        # atomic, so losing the race (EEXIST) means the winner already
+        # created an identical link — not an error
+        try:
+            os.symlink(os.path.abspath(f"{sf}/events.parquet"), link)
+        except FileExistsError:
+            pass
     return d
 
 
@@ -73,7 +79,13 @@ def _run_stream(
             .start()
         )
         q.awaitTermination()
-        return spark.table(name)
+        # Catalog hygiene: the memory sink registers a temp view per run;
+        # detach the result from the catalog (localCheckpoint pins the rows
+        # as blocks — results here are small aggregates) and drop the view
+        # so repeated harness invocations don't accumulate q_<uuid> tables.
+        result = spark.table(name).localCheckpoint()
+        spark.catalog.dropTempView(name)
+        return result
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
