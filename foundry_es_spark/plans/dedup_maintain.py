@@ -248,20 +248,12 @@ class IncrementalDedupPipeline:
         if window_invalidated(self.source.table_dir, last + 1, src_cur):
             return self._full_rebuild(src_cur)
 
+        from foundry_es_spark.plans.feed import net_window, resolve_patches
+
         try:
-            feed = self.source.table_changes(from_version=last + 1, to_version=src_cur)
-            # net change per key over the window: only each key's FINAL
-            # state matters (an I→U→D chain is just a delete)
-            payload = F.struct(F.col("_op"), F.col(self.cfg.text_col))
-            latest = (
-                feed.groupBy(*_A)
-                .agg(F.max_by(payload, F.col("_seq")).alias("r"))
-                .select(*_A, "r._op", f"r.{self.cfg.text_col}")
-            )
-            vic_rows = (
-                latest.select(*_A, "_op")
-                .limit(self.cfg.max_delta_keys + 1)
-                .collect()
+            latest, vic_rows = net_window(
+                self.source, self.cfg.text_col, last + 1, src_cur,
+                self.cfg.max_delta_keys,
             )
             victims = [(r[0], r[1]) for r in vic_rows]
         except SnapshotExpired:
@@ -274,42 +266,9 @@ class IncrementalDedupPipeline:
 
         patch_keys = [(r[0], r[1]) for r in vic_rows if r["_op"] == "P"]
         if patch_keys:
-            # Source pipeline runs patch_resolve='merge': the feed's delta
-            # rows are SPARSE — a net-'P' key's feed image may carry null
-            # (or stale-partial) text. Resolve those keys' TRUE content
-            # from the snapshot read (which folds patches), bucket/bounds/
-            # kfp-pruned to the patched repos — bounded by max_delta_keys,
-            # never a table scan. Orphan patches (key never existed) drop
-            # in the inner join: correctly no signature change.
-            snap = (
-                self.source.read(repos=sorted({k[0] for k in patch_keys}))
-                .select(*_A, self.cfg.text_col)
-            )
-            p_rows = latest.where(F.col("_op") == "P").drop(self.cfg.text_col)
-            resolved = (
-                p_rows.join(snap, on=_A, how="inner")
-                .withColumn("_op", F.lit("U"))
-                .select(*_A, "_op", self.cfg.text_col)
-            )
-            # A net-'P' key ABSENT from the snapshot was deleted earlier in
-            # the window (D then late patch — patch-after-delete stays
-            # deleted) or never existed (orphan). Either way no live
-            # signature may remain: fold it as a D so the tombstone branch
-            # below treats it like any other delete (an orphan's D merges
-            # over nothing — harmless). Dropping it entirely (the old
-            # behavior) leaked the deleted doc's signature forever and
-            # broke the incremental == batch-rebuild equivalence.
-            gone = (
-                p_rows.join(snap.select(*_A), on=_A, how="left_anti")
-                .withColumn("_op", F.lit("D"))
-                .withColumn(self.cfg.text_col, F.lit(None).cast("string"))
-                .select(*_A, "_op", self.cfg.text_col)
-            )
-            latest = (
-                latest.where(F.col("_op") != "P")
-                .unionByName(resolved)
-                .unionByName(gone)
-            )
+            # sparse net-'P' rows → full U/D images (plans/feed.py has the
+            # patch-after-delete / orphan semantics and their rationale)
+            latest = resolve_patches(self.source, latest, self.cfg.text_col, patch_keys)
 
         victim_repos = sorted({v[0] for v in victims})
         changed = latest.where(F.col("_op") != "D").drop("_op")

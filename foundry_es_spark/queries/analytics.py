@@ -597,27 +597,16 @@ def corpus_curate_e2e(spark, sf, cap: int = 40, k: int = 13, eval_mod: int = 10)
     row_number()<=cap rewrites to a partial WindowGroupLimit below its
     exchange. Net: 100 TB in, two wide exchanges total (dedup, cap), both
     over already-reduced data."""
-    from foundry_es_spark.queries.textstats import decon_grams, decon_tokens
+    from foundry_es_spark.queries.textstats import (
+        decon_grams,
+        decon_tokens,
+        gopher_feature_cols,
+    )
 
     d = table(spark, sf, "documents")
-    text = F.col("text")
-    tokens = F.split(F.trim(text), r"\s+")
-    lines = F.split(text, "\n")
-    n_tokens = F.size(tokens).cast("bigint")
-    n_lines = F.size(lines).cast("bigint")
-    n_chars = F.greatest(F.length(text).cast("bigint"), F.lit(1))
-    n_alpha_tok = F.size(F.filter(tokens, lambda w: w.rlike("[a-zA-Z]"))).cast("bigint")
-    n_bullet = F.size(F.filter(lines, lambda line: line.rlike(r"^\s*[-*]"))).cast("bigint")
-    n_distinct_lines = F.size(F.array_distinct(lines)).cast("bigint")
-    keep = (
-        n_tokens.between(5, 10000)
-        & F.floor(n_chars * 100 / n_tokens).between(150, 1200)
-        & (F.floor(n_alpha_tok * 10000 / n_tokens) >= 6000)
-        & (F.floor(n_bullet * 10000 / n_lines) <= 9000)
-        & (F.floor(n_distinct_lines * 10000 / n_lines) >= 3000)
-    )
-    quality = d.where(keep).select(
-        "doc_id", "source", "lang", "text", n_tokens.alias("n_tokens")
+    feats = gopher_feature_cols("text")
+    quality = d.where(feats["keep"]).select(
+        "doc_id", "source", "lang", "text", feats["n_tokens"].alias("n_tokens")
     )
     keep_id = F.min("doc_id").over(W.partitionBy(F.sha2(F.col("text"), 256)))
     unique = quality.withColumn("keep_id", keep_id).where(

@@ -293,16 +293,13 @@ FROM (SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_identifiers, unnest(ids) AS v
 # ------------------------------------------------------- chunk windows
 
 
-def text_gopher_filter(spark, sf):
-    """Gopher-rules-style document quality FILTER (Rae et al. 2021, §A1.1
-    restated with deterministic integer thresholds): token-count bounds,
-    mean-token-length bounds, alphabetic-word ratio, bullet-line ratio,
-    and duplicate-line fraction. Every feature is integer basis points
-    (floor division on bigints) so the DuckDB oracle matches bit-exactly;
-    every expression is a native HOF over one split — zero Python, one
-    scan, no shuffle (filters at scan bandwidth at 100 TB)."""
-    d = table(spark, sf, "documents")
-    text = F.col("text")
+def gopher_feature_cols(text_col="text") -> dict:
+    """The Gopher quality features as named Columns over ``text_col`` —
+    the ONE kernel shared by the batch query below, corpus_curate_e2e's
+    filter stage, and the incremental curation maintainer
+    (plans/curation_maintain.py). Sharing the expression tree is what
+    makes incremental verdicts bit-identical to a batch recompute."""
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
     tokens = F.split(F.trim(text), r"\s+")
     lines = F.split(text, "\n")
     n_tokens = F.size(tokens).cast("bigint")
@@ -326,15 +323,27 @@ def text_gopher_filter(spark, sf):
         & (bullet_bp <= 9000)
         & (uline_bp >= 3000)
     )
-    return d.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        atl_centi.alias("avg_token_len_centi"),
-        alpha_bp.alias("alpha_bp"),
-        bullet_bp.alias("bullet_bp"),
-        uline_bp.alias("unique_line_bp"),
-        keep.alias("keep"),
-    )
+    return {
+        "n_tokens": n_tokens,
+        "avg_token_len_centi": atl_centi,
+        "alpha_bp": alpha_bp,
+        "bullet_bp": bullet_bp,
+        "unique_line_bp": uline_bp,
+        "keep": keep,
+    }
+
+
+def text_gopher_filter(spark, sf):
+    """Gopher-rules-style document quality FILTER (Rae et al. 2021, §A1.1
+    restated with deterministic integer thresholds): token-count bounds,
+    mean-token-length bounds, alphabetic-word ratio, bullet-line ratio,
+    and duplicate-line fraction. Every feature is integer basis points
+    (floor division on bigints) so the DuckDB oracle matches bit-exactly;
+    every expression is a native HOF over one split — zero Python, one
+    scan, no shuffle (filters at scan bandwidth at 100 TB)."""
+    d = table(spark, sf, "documents")
+    feats = gopher_feature_cols("text")
+    return d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
 
 
 TEXT_GOPHER_SQL = r"""
@@ -549,24 +558,25 @@ def text_pack_sequences(spark, sf, capacity: int = 96, window: int = 32, stride:
 # ------------------------------------------------- eval decontamination
 
 
-def decon_tokens(d, k: int = 13):
-    """(doc_id, w, n_grams) for decontamination: lower/trim whitespace
+def decon_tokens(d, k: int = 13, key_cols=("doc_id",), text_col: str = "text"):
+    """(keys..., w, n_grams) for decontamination: lower/trim whitespace
     tokens and the POSITION count of k-grams; docs shorter than k tokens
-    drop (no k-gram exists). Shared by text_decontaminate and the
-    composed corpus_curate_e2e so both sides carry the same plan-trap
+    drop (no k-gram exists). Shared by text_decontaminate, the composed
+    corpus_curate_e2e, and the incremental curation maintainer
+    (key_cols=(repo, path)) so every caller carries the same plan-trap
     fixes (see text_decontaminate's docstring)."""
-    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     return d.select(
-        "doc_id", w.alias("w"), (F.size(w) - (k - 1)).cast("bigint").alias("n_grams")
+        *key_cols, w.alias("w"), (F.size(w) - (k - 1)).cast("bigint").alias("n_grams")
     ).where(F.col("n_grams") >= 1)
 
 
-def decon_grams(df, k: int = 13):
-    """Explode a token frame from decon_tokens into (doc_id, n_grams, g)
+def decon_grams(df, k: int = 13, key_cols=("doc_id",)):
+    """Explode a token frame from decon_tokens into (keys..., n_grams, g)
     k-gram rows. Clamped sequence bound + non-nullable key: both plan
     traps documented on text_decontaminate."""
     return df.select(
-        "doc_id",
+        *key_cols,
         "n_grams",
         F.explode(
             F.transform(
@@ -574,7 +584,7 @@ def decon_grams(df, k: int = 13):
                 lambda i: F.concat_ws(" ", F.slice("w", i + 1, k)),
             )
         ).alias("g0"),
-    ).select("doc_id", "n_grams", F.coalesce("g0", F.lit("")).alias("g"))
+    ).select(*key_cols, "n_grams", F.coalesce("g0", F.lit("")).alias("g"))
 
 
 def text_decontaminate(spark, sf, k: int = 13, eval_mod: int = 10):
