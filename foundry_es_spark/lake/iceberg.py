@@ -40,7 +40,29 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from foundry_es_spark.lake import log as commitlog
 from foundry_es_spark.lake.table import WIDENINGS, LakeField
+
+# Iceberg commit exceptions, classified by what the driver may do next.
+# Matched by NAME inside the raised error's string form because on a real
+# cluster they surface as Py4J-wrapped java exceptions (no importable
+# Python class), and in this jar-less sandbox tests raise stand-ins.
+#
+# - RETRY-SAFE (re-issue the same statement): the catalog CAS was lost
+#   (CommitFailedException, after Iceberg's own commit.retry budget) or the
+#   commit outcome is UNKNOWN (CommitStateUnknownException). Blind re-issue
+#   is safe for every statement this backend emits because they are all
+#   idempotent at the row level — the MERGE's branches are seq-conditional
+#   (re-applying an epoch is a no-op), rewrite_data_files is a binpack of
+#   whatever files currently exist, and property SETs are absolute values.
+#   This mirrors lake/table.py:_publish's rebase-and-retry loop.
+# - CONFLICT (re-plan from current state): serializable validation found
+#   that files this operation read/rewrote were changed concurrently
+#   (ValidationException). Mapped to the local backend's
+#   ConcurrentWriteConflict so callers handle both backends identically
+#   (CdcPipeline re-runs the merge, run_maintain skips the step this tick).
+_RETRY_MARKERS = ("CommitFailedException", "CommitStateUnknownException")
+_CONFLICT_MARKERS = ("ValidationException",)
 
 KEY_COLS = ("repo", "path")
 
@@ -68,6 +90,9 @@ class IcebergBackend:
     merge_mode: str = "merge-on-read"  # Iceberg write.merge.mode
     patch_mode: bool = False           # C9: source may carry sparse _op='P' rows
     execute: bool = False              # False = plan mode (no jar locally)
+    commit_retries: int = 3            # driver-level re-issues on lost/unknown
+                                       # commits, ON TOP of Iceberg's internal
+                                       # commit.retry.num-retries CAS budget
     sql_log: list[str] = field(default_factory=list)
     # plan-mode shadow state so the protocol behaves without a catalog
     _fields: list[LakeField] = field(default_factory=list)
@@ -75,11 +100,44 @@ class IcebergBackend:
 
     # ------------------------------------------------------------------ util
 
-    def _run(self, sql: str) -> None:
+    def _execute(self, sql: str):
+        # seam for the OCC tests (and a deployment's statement hook)
+        return self.spark.sql(sql)
+
+    def _run(self, sql: str, retryable: bool = False) -> None:
+        """Issue one statement. ``retryable`` marks write statements whose
+        re-issue is row-level idempotent (see _RETRY_MARKERS note): lost or
+        unknown commits are re-issued up to ``commit_retries`` times, then
+        surfaced as ConcurrentWriteConflict; serializable-validation
+        failures surface immediately as ConcurrentWriteConflict (the caller
+        must re-plan from the new snapshot — retrying verbatim is what the
+        re-run IS, the statement re-reads current state, but the DECISION
+        to re-run belongs to the caller, exactly like the local backend)."""
         sql = " ".join(sql.split())
-        self.sql_log.append(sql)
-        if self.execute:
-            self.spark.sql(sql)
+        attempts = (self.commit_retries + 1) if retryable else 1
+        for i in range(attempts):
+            self.sql_log.append(sql)
+            if not self.execute:
+                return
+            try:
+                self._execute(sql)
+                return
+            except commitlog.ConcurrentWriteConflict:
+                raise
+            except Exception as exc:
+                msg = repr(exc)
+                if any(m in msg for m in _CONFLICT_MARKERS):
+                    raise commitlog.ConcurrentWriteConflict(
+                        f"serializable validation failed for: {sql[:120]}…"
+                    ) from exc
+                if retryable and any(m in msg for m in _RETRY_MARKERS):
+                    if i < attempts - 1:
+                        continue
+                    raise commitlog.ConcurrentWriteConflict(
+                        f"commit retry budget ({self.commit_retries}) "
+                        f"exhausted for: {sql[:120]}…"
+                    ) from exc
+                raise
 
     # ------------------------------------------------------------------- DDL
 
@@ -104,7 +162,13 @@ class IcebergBackend:
               'write.delete.mode' = '{self.merge_mode}',
               'write.distribution-mode' = 'hash',
               'write.parquet.compression-codec' = 'zstd',
-              'write.parquet.bloom-filter-enabled.column.repo' = 'true'
+              'write.parquet.bloom-filter-enabled.column.repo' = 'true',
+              'commit.retry.num-retries' = '8',
+              'commit.retry.min-wait-ms' = '100',
+              'commit.retry.max-wait-ms' = '60000',
+              'write.merge.isolation-level' = 'serializable',
+              'write.update.isolation-level' = 'serializable',
+              'write.delete.isolation-level' = 'serializable'
             )"""
         )
         self._run(f"ALTER TABLE {self.fqtn} SET IDENTIFIER FIELDS {', '.join(KEY_COLS)}")
@@ -117,7 +181,7 @@ class IcebergBackend:
 
     def properties(self) -> dict:
         if self.execute:
-            rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.fqtn}").collect()
+            rows = self._execute(f"SHOW TBLPROPERTIES {self.fqtn}").collect()
             return {r["key"]: r["value"] for r in rows}
         return dict(self._props)
 
@@ -132,9 +196,20 @@ class IcebergBackend:
         # around the MERGE puts this in the snapshot summary instead; the
         # property form is the SQL-only fallback (safe because MERGE is
         # seq-conditionally idempotent — see module docstring).
+        #
+        # Monotonic: a fence never moves BACKWARDS. If another writer
+        # raced past us (fenced a later epoch of the same pipeline while
+        # our merge was in flight), overwriting the property with our
+        # lower epoch would reopen theirs for double-apply on the next
+        # resume. Concurrent SETs of DIFFERENT pipelines' keys never
+        # clobber each other — each statement is a metadata commit that
+        # rebases onto reloaded base metadata under commit.retry.
+        if epoch_id <= self.last_epoch(pipeline_id):
+            return
         self._run(
             f"ALTER TABLE {self.fqtn} SET TBLPROPERTIES "
-            f"('{self._fence_key(pipeline_id)}' = '{epoch_id}')"
+            f"('{self._fence_key(pipeline_id)}' = '{epoch_id}')",
+            retryable=True,
         )
         self._props[self._fence_key(pipeline_id)] = str(epoch_id)
 
@@ -251,6 +326,20 @@ class IcebergBackend:
         # touched_buckets is accepted for protocol parity and ignored:
         # Iceberg prunes bucket partitions from the MERGE's join predicate.
         view = "graft_merge_src"
+        # Zombie-driver abort (C5, mirror of lake/table.py:_publish's
+        # in-commit fence check, pinned by test_concurrent.py::
+        # test_duplicate_epoch_from_second_writer_is_rejected): if another
+        # writer already fenced this (pipeline, epoch), issue NOTHING.
+        # The check-then-merge pair is not atomic here — the residual
+        # window is harmless because every MERGE branch is seq-conditional
+        # (a double-apply updates no rows) and the fence advance below is
+        # monotonic; the production-atomic variant rides CommitMetadata
+        # (module docstring).
+        if fence is not None and self.is_epoch_committed(*fence):
+            raise commitlog.EpochAlreadyFenced(
+                f"epoch {fence[1]} of pipeline {fence[0]} already fenced on "
+                f"{self.fqtn} — another writer applied it; discarding"
+            )
         if self.execute:
             batch.createOrReplaceTempView(view)
         # C9: a patch-enabled pipeline may deliver sparse _op='P' rows
@@ -259,7 +348,8 @@ class IcebergBackend:
         # to the plain semantics when no P rows are present, so dispatch on
         # the configured mode, not the data.
         self._run(
-            self.merge_patch_sql(view) if self.patch_mode else self.merge_sql(view)
+            self.merge_patch_sql(view) if self.patch_mode else self.merge_sql(view),
+            retryable=True,
         )
         if callable(info):
             # The info callback may carry Observation-backed stats that only
@@ -283,7 +373,8 @@ class IcebergBackend:
         cols = ", ".join([f.name for f in self._fields])
         self._run(
             f"INSERT OVERWRITE {self.fqtn} SELECT {cols}, "
-            f"CAST(-1 AS BIGINT) AS _seq, 'I' AS _op FROM graft_snapshot_src"
+            f"CAST(-1 AS BIGINT) AS _seq, 'I' AS _op FROM graft_snapshot_src",
+            retryable=True,
         )
         if fence:
             self._advance_fence_sql(*fence)
@@ -303,13 +394,23 @@ class IcebergBackend:
         # (Iceberg >= 1.4); `partition.repo_bucket` is metadata-table
         # syntax and does not resolve as a row predicate.
         where = f"system.bucket({self.n_buckets}, repo) IN ({', '.join(str(b) for b in sorted(buckets))})"
+        # use-starting-sequence-number (default true, pinned explicit):
+        # the rewritten files keep their input's sequence number, so a MoR
+        # ingest committing BETWEEN this rewrite's read and its commit
+        # still wins on its (newer) deletes — the rebase rule that lets
+        # compaction run beside a live pipeline (test_concurrent.py::
+        # test_ingest_races_compaction). A conflicting rewrite of the same
+        # files still fails serializable validation -> the _run layer maps
+        # it to ConcurrentWriteConflict and the cron re-plans next tick.
         self._run(
             f"""CALL {catalog}.system.rewrite_data_files(
               table => '{tbl}',
               strategy => 'binpack',
               where => '{where}',
-              options => map('delete-file-threshold', '1')
-            )"""
+              options => map('delete-file-threshold', '1',
+                             'use-starting-sequence-number', 'true')
+            )""",
+            retryable=True,
         )
         return {"buckets_rewritten": len(buckets), "files_written": -1}
 
@@ -381,7 +482,7 @@ class IcebergBackend:
         )
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
-        self._run(self.expire_snapshots_sql(keep_last))
+        self._run(self.expire_snapshots_sql(keep_last), retryable=True)
         return -1  # count comes from the procedure's result set on a cluster
 
     def rollback_sql(self, snapshot_id: int) -> str:
@@ -396,16 +497,30 @@ class IcebergBackend:
             f"table => '{tbl}', snapshot_id => {int(snapshot_id)})"
         )
 
-    def vacuum_sql(self) -> str:
+    def vacuum_sql(self, older_than: str | None = None) -> str:
         """Orphan cleanup — the twin of the local vacuum's attempt-debris
         sweep: files in the table location no snapshot references
-        (crashed/speculative writers)."""
+        (crashed/speculative writers).
+
+        ``older_than`` (a ``YYYY-MM-DD HH:MM:SS`` timestamp the caller
+        computes as now − grace) is the Iceberg form of the local
+        backend's ``writer_grace_sec``: a LIVE concurrent writer's staged
+        files are not yet referenced by any snapshot, so without the
+        grace window this procedure would delete them mid-commit
+        (test_concurrent.py::test_vacuum_spares_inflight_but_reclaims_
+        stale). Omitted, Iceberg applies its own 3-day default — safe,
+        just coarser."""
         catalog = self.fqtn.split(".")[0]
         tbl = self.fqtn.split(".", 1)[1]
-        return f"CALL {catalog}.system.remove_orphan_files(table => '{tbl}')"
+        grace = (
+            f", older_than => TIMESTAMP '{older_than}'" if older_than else ""
+        )
+        return (
+            f"CALL {catalog}.system.remove_orphan_files(table => '{tbl}'{grace})"
+        )
 
-    def vacuum(self, keep_snapshots: int = 0) -> int:
+    def vacuum(self, keep_snapshots: int = 0, older_than: str | None = None) -> int:
         if keep_snapshots:
             self._run(self.expire_snapshots_sql(keep_snapshots + 1))
-        self._run(self.vacuum_sql())
+        self._run(self.vacuum_sql(older_than))
         return -1

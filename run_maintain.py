@@ -89,7 +89,7 @@ def main() -> None:
         if args.compact_threshold <= 0:
             # 0 = always: rewrite every bucket that has ANY file (binpack
             # fragmented bases too, not just delta-bearing buckets)
-            due = sorted(table.bucket_file_counts())
+            due = sorted(t.bucket_file_counts())
         else:
             due = sorted(b for b, g in gens.items() if g >= args.compact_threshold)
         if due:

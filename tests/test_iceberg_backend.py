@@ -40,7 +40,16 @@ def test_create_ddl_golden(be):
         "'write.parquet.compression-codec' = 'zstd', "
         # cluster twin of the local backend's key-fingerprint sets
         # (lake/kfp.py): parquet bloom filter on the partition key
-        "'write.parquet.bloom-filter-enabled.column.repo' = 'true' )"
+        "'write.parquet.bloom-filter-enabled.column.repo' = 'true', "
+        # OCC posture (test_concurrent.py twins): Iceberg's internal CAS
+        # retry budget + serializable row-level conflict validation on
+        # every write mode — what makes maintenance safe beside ingest
+        "'commit.retry.num-retries' = '8', "
+        "'commit.retry.min-wait-ms' = '100', "
+        "'commit.retry.max-wait-ms' = '60000', "
+        "'write.merge.isolation-level' = 'serializable', "
+        "'write.update.isolation-level' = 'serializable', "
+        "'write.delete.isolation-level' = 'serializable' )"
     )
     assert ident == "ALTER TABLE lake.db.code SET IDENTIFIER FIELDS repo, path"
 
@@ -116,7 +125,11 @@ def test_fence_and_compaction_golden(be):
         # procedure's where (Iceberg >= 1.4); partition.repo_bucket is
         # metadata-table syntax and would not resolve as a row predicate
         "strategy => 'binpack', where => 'system.bucket(32, repo) IN (3, 9)', "
-        "options => map('delete-file-threshold', '1') )"
+        # use-starting-sequence-number: rewritten files keep their input's
+        # sequence number so a MoR ingest landing mid-rewrite still wins
+        # with its newer deletes (the ingest-races-compaction rebase rule)
+        "options => map('delete-file-threshold', '1', "
+        "'use-starting-sequence-number', 'true') )"
     )
 
 
@@ -288,3 +301,168 @@ def test_patch_pipeline_dispatches_patch_merge(spark):
     assert be2.patch_mode is False
     be2.merge_upsert(None)
     assert "WHEN NOT MATCHED AND s._op != 'D'" in be2.sql_log[-1]
+
+
+# --------------------------------------------------------------- OCC twins
+# VERDICT r3 item 5: one golden per tests/test_concurrent.py scenario —
+# the exact statement/exception sequence the Iceberg path produces under
+# the same race the local backend's _publish loop is tested against.
+# No jar exists locally, so a scripted catalog stands in: it serves SHOW
+# TBLPROPERTIES from the backend's shadow state and raises Iceberg-NAMED
+# stand-in exceptions (the _run layer classifies by exception name because
+# live clusters surface them Py4J-wrapped, with no importable class).
+
+from types import SimpleNamespace  # noqa: E402
+
+from foundry_es_spark.lake import log as commitlog  # noqa: E402
+
+
+class CommitFailedException(Exception):
+    """Stand-in: catalog CAS lost after Iceberg's internal retry budget."""
+
+
+class CommitStateUnknownException(Exception):
+    """Stand-in: commit outcome unknown (e.g. catalog timeout mid-swap)."""
+
+
+class ValidationException(Exception):
+    """Stand-in: serializable isolation found conflicting files."""
+
+
+def _scripted_catalog(be, failures=()):
+    """Flip ``be`` into execute mode against a scripted catalog. Each
+    (substring, exception) in ``failures`` is consumed by the FIRST
+    statement containing the substring; everything else succeeds."""
+    fails = list(failures)
+    executed: list[str] = []
+
+    def _exec(sql):
+        executed.append(sql)
+        if sql.startswith("SHOW TBLPROPERTIES"):
+            return SimpleNamespace(
+                collect=lambda: [{"key": k, "value": v} for k, v in be._props.items()]
+            )
+        for i, (sub, exc) in enumerate(fails):
+            if sub in sql:
+                fails.pop(i)
+                raise exc
+        return None
+
+    be._execute = _exec
+    be.execute = True
+    return executed
+
+
+def _src(spark):
+    return spark.createDataFrame(
+        [("r", "p", "c", "py", "x", 1, "I")],
+        "repo string, path string, commit string, lang string, content string, "
+        "_seq long, _op string",
+    )
+
+
+def test_occ_lost_commit_reissues_merge(be, spark):
+    """Twin of test_two_append_writers_interleave: writer A's MERGE loses
+    the catalog CAS to writer B (CommitFailedException after Iceberg's own
+    commit.retry), then hits an unknown-outcome commit — both are
+    re-issued verbatim, safe because every branch is seq-conditional, and
+    the epoch lands exactly once with its fence advanced after."""
+    executed = _scripted_catalog(be, [
+        ("MERGE INTO", CommitFailedException("CAS lost to writer B")),
+        ("MERGE INTO", CommitStateUnknownException("catalog timeout")),
+    ])
+    be.merge_upsert(_src(spark), fence=("A", 0))
+    merges = [s for s in executed if s.startswith("MERGE INTO")]
+    assert len(merges) == 3 and len(set(merges)) == 1  # re-issued verbatim
+    assert be.last_epoch("A") == 0
+    # the fence SET came after the LAST (successful) merge attempt
+    assert executed.index([s for s in executed if "graft.fence.A" in s][0]) > \
+        executed.index(merges[-1])
+
+
+def test_occ_retry_budget_exhausted_surfaces_conflict(be, spark):
+    """A CAS that never wins within the driver budget surfaces as
+    ConcurrentWriteConflict (caller re-plans), never as a silent drop —
+    and the fence is NOT advanced."""
+    be.commit_retries = 2
+    _scripted_catalog(be, [
+        ("MERGE INTO", CommitFailedException(f"lost {i}")) for i in range(3)
+    ])
+    with pytest.raises(commitlog.ConcurrentWriteConflict):
+        be.merge_upsert(_src(spark), fence=("A", 0))
+    assert sum(s.startswith("MERGE INTO") for s in be.sql_log) == 3  # 1 + 2 retries
+    assert be.last_epoch("A") == -1
+
+
+def test_occ_cow_merge_conflict_detected(be, spark):
+    """Twin of test_cow_merge_conflict_detected: serializable validation
+    rejects the MERGE whose read set a concurrent append invalidated.
+    Surfaces as ConcurrentWriteConflict with the fence untouched; the
+    caller's re-run (which re-reads the new snapshot) succeeds and fences."""
+    _scripted_catalog(be, [("MERGE INTO", ValidationException("conflicting files"))])
+    with pytest.raises(commitlog.ConcurrentWriteConflict):
+        be.merge_upsert(_src(spark), fence=("A", 0))
+    assert be.last_epoch("A") == -1
+    be.merge_upsert(_src(spark), fence=("A", 0))  # the re-plan
+    assert be.last_epoch("A") == 0
+
+
+def test_occ_zombie_epoch_aborts_before_merge(be, spark):
+    """Twin of test_duplicate_epoch_from_second_writer_is_rejected: when
+    another writer already fenced this (pipeline, epoch), the zombie
+    driver must issue NOTHING — EpochAlreadyFenced, no MERGE statement."""
+    executed = _scripted_catalog(be)
+    be.fence_epoch_only("A", 0)  # "the other driver" won
+    n = len(be.sql_log)
+    with pytest.raises(commitlog.EpochAlreadyFenced):
+        be.merge_upsert(_src(spark), fence=("A", 0))
+    assert len(be.sql_log) == n  # zero statements from the zombie
+    assert not any(s.startswith("MERGE INTO") for s in executed)
+    # the next epoch from a healthy writer proceeds normally
+    be.merge_upsert(_src(spark), fence=("A", 1))
+    assert be.last_epoch("A") == 1
+
+
+def test_occ_fence_is_monotonic(be):
+    """A racing writer that fenced a LATER epoch must not be regressed by
+    our lower fence advance (same rule as the local fences' max_epoch)."""
+    _scripted_catalog(be)
+    be.fence_epoch_only("A", 5)
+    n = len(be.sql_log)  # sql_log records issued statements (not the SHOW probes)
+    be.fence_epoch_only("A", 3)  # stale writer: no statement, no regress
+    assert len(be.sql_log) == n and be.last_epoch("A") == 5
+    be.fence_epoch_only("A", 6)
+    assert be.last_epoch("A") == 6
+    # pipelines' fence keys are disjoint properties — B never clobbers A
+    be.fence_epoch_only("B", 0)
+    assert be.last_epoch("A") == 6 and be.last_epoch("B") == 0
+
+
+def test_occ_compaction_conflict_replans(be):
+    """Twin of test_ingest_races_compaction (maintenance side): a rewrite
+    whose input files moved fails validation -> ConcurrentWriteConflict,
+    which run_maintain's --concurrent step skips and retries next tick.
+    The retry (fresh plan over current files) succeeds."""
+    _scripted_catalog(be, [("rewrite_data_files", ValidationException("files moved"))])
+    with pytest.raises(commitlog.ConcurrentWriteConflict):
+        be.compact_buckets([1, 2])
+    be.compact_buckets([1, 2])  # next cron tick
+    assert sum("rewrite_data_files" in s for s in be.sql_log) == 2
+
+
+def test_occ_vacuum_grace_window_golden(be):
+    """Twin of test_vacuum_spares_inflight_but_reclaims_stale: the orphan
+    sweep carries an older_than grace timestamp so a LIVE writer's not-yet-
+    committed files survive; stale (crashed-writer) debris older than the
+    grace is reclaimed by the same call."""
+    assert be.vacuum_sql(older_than="2026-08-19 00:00:00") == (
+        "CALL lake.system.remove_orphan_files(table => 'db.code', "
+        "older_than => TIMESTAMP '2026-08-19 00:00:00')"
+    )
+    n0 = len(be.sql_log)
+    be.vacuum(keep_snapshots=2, older_than="2026-08-19 00:00:00")
+    assert be.sql_log[n0:] == [
+        "CALL lake.system.expire_snapshots(table => 'db.code', retain_last => 3)",
+        "CALL lake.system.remove_orphan_files(table => 'db.code', "
+        "older_than => TIMESTAMP '2026-08-19 00:00:00')",
+    ]
