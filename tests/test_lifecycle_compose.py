@@ -1,0 +1,245 @@
+"""Multi-source lifecycle chaos (VERDICT r3 item 6): ONE hypothesis
+interleaving composing every stateful actor the engine ships —
+RoutedPipeline (two sink tables fed by one stream), a derived-table
+maintainer, incremental near-dup maintenance, incremental curation
+maintenance, the maintenance cron's actions (compact / expire / vacuum /
+tombstone GC), duplicate delivery, process resume, and rollback-then-
+replay recovery — and re-checks EVERY standing invariant at the end:
+
+- each route's table equals the pandas fold oracle of its own slice,
+- the derived rollup equals a fresh groupBy of its source,
+- maintained dedup pairs/signatures equal batch re-discovery over the
+  live snapshot,
+- maintained curation verdicts equal a batch recompute over the live
+  snapshot.
+
+The existing chaos test (test_property.py) interleaves maintenance with
+ONE pipeline; this one exists because the maintainers keep their own
+cursors against the source's change feed, so maintenance/rollback races
+that are invisible to table state can still corrupt DERIVED state.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from foundry_es_spark.lake import log as commitlog
+from foundry_es_spark.oracle import fold_events
+from foundry_es_spark.plans import (
+    CdcPipeline,  # noqa: F401  (route pipelines are CdcPipelines)
+    DerivedConfig,
+    DerivedTablePipeline,
+    PipelineConfig,
+)
+from foundry_es_spark.plans.curation_maintain import (
+    CurationMaintainConfig,
+    IncrementalCurationPipeline,
+)
+from foundry_es_spark.plans.dedup_maintain import (
+    DedupMaintainConfig,
+    IncrementalDedupPipeline,
+    discover_pairs,
+)
+from foundry_es_spark.plans.routed import Route, RoutedPipeline
+from foundry_es_spark.queries.textstats import decon_grams, decon_tokens
+
+# content pool engineered so edits CREATE and DESTROY near-dup pairs
+# (BASE~VAR* collide in the fixed 16-lane LSH bands; OTHER* never do) and
+# so route-b docs can be contaminated against the eval grams at k=5
+BASE = "the quick brown fox jumps over the lazy dog while rain falls on the old stone bridge near town"
+VAR1 = BASE.replace("rain", "snow")
+VAR2 = BASE.replace("jumps", "leaps")
+OTHER = "completely different words compose this document nothing here overlaps with that animal sentence in any way at all honestly"
+OTHER2 = "yet another unrelated text about spark physical plans shuffles broadcasts and adaptive execution at large scale clusters"
+EVAL_TEXT = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda held out benchmark words"
+CONTAM = "prefix words here then alpha beta gamma delta epsilon somewhere else entirely after that"
+CONTENTS = [BASE, VAR1, VAR2, OTHER, OTHER2, CONTAM]
+K = 5
+
+REPOS = ["ra1", "ra2", "rb1", "rb2"]   # ra* -> route a, rb* -> route b
+PATHS = [f"p{i}" for i in range(4)]
+
+ACTIONS = [
+    "compact", "expire", "vacuum", "redeliver", "resume", "rollback",
+    "dedup", "curation", "derived", "gc_tombstones", "none",
+]
+
+EVENT_ST = st.tuples(
+    st.integers(0, len(REPOS) - 1),
+    st.integers(0, len(PATHS) - 1),
+    st.sampled_from(["I", "U", "D"]),
+    st.integers(0, len(CONTENTS) - 1),
+)
+
+
+@st.composite
+def compose_logs(draw):
+    evs = draw(st.lists(EVENT_ST, min_size=1, max_size=40))
+    n_epochs = draw(st.integers(1, 4))
+    actions = draw(
+        st.lists(st.sampled_from(ACTIONS), min_size=n_epochs, max_size=n_epochs)
+    )
+    return evs, n_epochs, actions
+
+
+def _eval_grams(spark):
+    ev = spark.createDataFrame([(0, EVAL_TEXT)], "doc_id long, text string")
+    return decon_grams(decon_tokens(ev, K), K).select("g").distinct()
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(compose_logs())
+def test_multi_source_lifecycle_compose(spark, tmp_path_factory, log):
+    evs, n_epochs, actions = log
+    tmp = str(tmp_path_factory.mktemp("compose"))
+
+    rows = []
+    for seq, (ri, pi, op, ci) in enumerate(evs):
+        rows.append({
+            "seq": seq,
+            "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=seq),
+            "op": op,
+            "repo": REPOS[ri],
+            "path": PATHS[pi],
+            "commit": None if op == "D" else f"c{seq}",
+            "lang": None if op == "D" else "text",
+            "content": None if op == "D" else CONTENTS[ci],
+        })
+    pdf = pd.DataFrame(rows)
+    sdf = spark.createDataFrame(
+        pdf,
+        "seq long, ts timestamp, op string, repo string, path string, "
+        "commit string, lang string, content string",
+    ).withColumn("part", F.pmod(F.xxhash64("repo"), F.lit(2)))
+
+    routes = [
+        Route("a", "repo LIKE 'ra%'", f"{tmp}/ta"),
+        Route("b", "repo LIKE 'rb%'", f"{tmp}/tb"),
+    ]
+
+    def mk_routed():
+        return RoutedPipeline(
+            spark,
+            PipelineConfig(pipeline_id="rp", table_dir="", n_buckets=4,
+                           normalize=False, merge_mode="mor",
+                           compact_threshold=3),
+            routes,
+        )
+
+    routed = mk_routed()
+
+    def mk_maintainers(r):
+        d = DerivedTablePipeline(
+            spark, r.table("a"),
+            DerivedConfig(name="cc", derived_dir=f"{tmp}/derived", n_buckets=4),
+            [F.count("*").alias("n_paths")],
+        )
+        dd = IncrementalDedupPipeline(
+            spark, r.table("a"),
+            DedupMaintainConfig(name="nd", sig_dir=f"{tmp}/sigs",
+                                pairs_dir=f"{tmp}/pairs", n_buckets=4),
+        )
+        cm = IncrementalCurationPipeline(
+            spark, r.table("b"), _eval_grams(spark),
+            CurationMaintainConfig(name="cv", state_dir=f"{tmp}/verdicts",
+                                   k=K, n_buckets=4),
+        )
+        return d, dd, cm
+
+    d, dd, cm = mk_maintainers(routed)
+
+    per_epoch = max(1, (len(rows) + n_epochs - 1) // n_epochs)
+    for e in range(n_epochs):
+        chunk = sdf.where(
+            (F.col("seq") >= e * per_epoch) & (F.col("seq") < (e + 1) * per_epoch)
+        )
+        v_before_a = commitlog.current_version(f"{tmp}/ta")
+        routed.apply_epoch(chunk, e)
+        act = actions[e]
+        if act == "rollback" and v_before_a is not None:
+            # undo route a's epoch and re-deliver the whole epoch: route b
+            # skips (still fenced), route a re-applies exactly once — the
+            # maintainers' cursors now point PAST route a's head, which
+            # their next refresh must detect and full-rebuild from
+            routed.table("a").rollback(v_before_a)
+            out = routed.apply_epoch(chunk, e)
+            assert out["a"]["skipped"] is False and out["b"]["skipped"] is True
+        elif act == "compact":
+            routed.table("a").compact(files_per_bucket=1)
+            routed.table("b").compact(files_per_bucket=1)
+        elif act == "expire":
+            routed.table("a").expire_snapshots(keep_last=2)
+        elif act == "vacuum":
+            routed.table("b").vacuum(keep_snapshots=1)
+        elif act == "redeliver":
+            out = routed.apply_epoch(chunk, e)
+            assert all(r["skipped"] for r in out.values())
+        elif act == "resume":
+            routed = mk_routed()
+            d, dd, cm = mk_maintainers(routed)
+        elif act == "dedup":
+            dd.refresh()
+        elif act == "curation":
+            cm.refresh()
+        elif act == "derived":
+            d.refresh()
+        elif act == "gc_tombstones":
+            hz = (e + 1) * per_epoch - 1
+            routed.table("a").purge_tombstones(horizon_seq=hz)
+            routed.table("b").purge_tombstones(horizon_seq=hz)
+
+    # ------------------------------------------------- standing invariants
+    # 1. each route's table == fold oracle of its own event slice
+    for name, pred in (("a", "ra"), ("b", "rb")):
+        exp = fold_events(pdf[pdf["repo"].str.startswith(pred)])
+        got = (
+            routed.table(name).read()
+            .select("repo", "path", "commit", "lang",
+                    F.sha2(F.col("content"), 256).alias("content_sha256"))
+            .toPandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got,
+            exp[["repo", "path", "commit", "lang", "content_sha256"]].reset_index(drop=True),
+            check_dtype=False,
+        )
+
+    # 2. derived rollup converges to a fresh recompute of its source
+    d.refresh()
+    exp_d = _canon(
+        routed.table("a").read().groupBy("repo").agg(F.count("*").alias("n_paths"))
+    )
+    assert _canon(d.read()) == exp_d
+
+    # 3. maintained dedup state == batch re-discovery over the live snapshot
+    dd.refresh()
+    snap = dd.source.read()
+    exp_pairs = discover_pairs(dd._sign(snap), dd._shingled(snap),
+                               dd.cfg.jaccard_threshold)
+    assert _canon(dd.pairs()) == _canon(exp_pairs)
+    assert _canon(dd.sig_table.read().select("repo", "path")) == _canon(
+        snap.select("repo", "path")
+    )
+    assert dd.pairs_table.read().count() == 2 * dd.pairs().count()
+
+    # 4. maintained curation verdicts == batch recompute over the snapshot
+    cm.refresh()
+    from foundry_es_spark.plans.curation_maintain import STATE_FIELDS
+
+    cols = [f[0] for f in STATE_FIELDS]
+    batch = cm.verdicts(cm.source.read().select("repo", "path", "content"))
+    assert _canon(cm.state().select(*cols)) == _canon(batch.select(*cols))
