@@ -166,6 +166,11 @@ def main() -> None:
     # ---- the replay loop (timed per epoch) ------------------------------
     epochs = sorted(int(d.split("=")[1]) for d in os.listdir(events_dir)
                     if d.startswith("epoch="))
+    if not epochs:
+        raise RuntimeError(
+            f"no epoch= dirs under {events_dir} (stale _READY marker from a "
+            f"consumed run?) — delete the dir and re-run"
+        )
     per_epoch: list[dict] = []
     for e in epochs:
         epoch_dir = os.path.join(events_dir, f"epoch={e}")
@@ -199,6 +204,11 @@ def main() -> None:
         print(json.dumps(row), flush=True)
         if not args.keep_events:
             shutil.rmtree(epoch_dir, ignore_errors=True)
+
+    if not args.keep_events:
+        # the epoch dirs are gone, so the READY marker must go too or a
+        # re-run would skip generation and find an empty log
+        shutil.rmtree(events_dir, ignore_errors=True)
 
     stop.set()
     if mthread:
