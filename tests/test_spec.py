@@ -224,3 +224,36 @@ def test_source_registry_rejects_duplicate_ids():
     reg = SourceRegistry([s])
     with pytest.raises(MappingError, match="duplicate source_id"):
         reg.add(SourceSpec(source_id="a", ingest={"method": "csv"}))
+
+
+def test_run_sources_cli_end_to_end(spark, tmp_path, monkeypatch, capsys):
+    """The config-driven UX as a CLI (run_sources.py): one JSON line per
+    source; the event source replays through the CDC pipeline, the record
+    source writes its mapped frame; a SECOND invocation is exactly-once
+    (all epochs fenced, identical table rows)."""
+    import sys as _sys
+
+    import run_sources
+
+    work = tmp_path / "work"
+    records_out = tmp_path / "records"
+    monkeypatch.setattr(_sys, "argv", [
+        "run_sources.py", "--config-dir", CONFIGS, "--work-dir", str(work),
+        "--records-out", str(records_out),
+    ])
+    run_sources.main()
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    by_id = {d["source_id"]: d for d in lines}
+    assert by_id["entry"]["kind"] == "events" and by_id["entry"]["rows"] > 0
+    assert by_id["entry"]["epochs_fenced"] >= 1
+    assert by_id["gh_harvest"]["kind"] == "records"
+    assert spark.read.parquet(by_id["gh_harvest"]["written"]).count() == \
+        by_id["gh_harvest"]["rows"] == 2
+
+    # re-run: exactly-once — fences skip every epoch, state unchanged
+    run_sources.main()
+    again = {d["source_id"]: d for d in (
+        json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()
+    )}
+    assert again["entry"]["rows"] == by_id["entry"]["rows"]
+    assert again["entry"]["epochs_fenced"] == by_id["entry"]["epochs_fenced"]
