@@ -520,7 +520,9 @@ class IcebergBackend:
         )
 
     def vacuum(self, keep_snapshots: int = 0, older_than: str | None = None) -> int:
+        # both retryable: metadata commits that can lose the catalog CAS,
+        # idempotent on re-issue — same posture as expire_snapshots()
         if keep_snapshots:
-            self._run(self.expire_snapshots_sql(keep_snapshots + 1))
-        self._run(self.vacuum_sql(older_than))
+            self._run(self.expire_snapshots_sql(keep_snapshots + 1), retryable=True)
+        self._run(self.vacuum_sql(older_than), retryable=True)
         return -1

@@ -423,8 +423,24 @@ def dedup_cluster(
     lineage truncation. Local default stays executor-resident (cheaper,
     and a single-JVM local run has no executor-loss mode).
     """
+    prev_ckpt = None
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        import os as _os
+        import uuid as _uuid
+
+        sc = spark.sparkContext
+        try:
+            # remember the session's prior dir — setCheckpointDir is
+            # GLOBAL, and this call must not redirect other consumers
+            opt = sc._jsc.sc().getCheckpointDir()
+            prev_ckpt = opt.get() if opt.isDefined() else None
+        except Exception:
+            prev_ckpt = None
+        # namespace per call: reliable checkpoints are never auto-deleted
+        # (cleanCheckpoints is off by default), so each run's data lives
+        # under its own cc-<id> subdir — the caller can delete it once the
+        # returned labels are materialized/persisted
+        sc.setCheckpointDir(_os.path.join(checkpoint_dir, f"cc-{_uuid.uuid4().hex[:12]}"))
         _truncate = lambda df: df.checkpoint()  # noqa: E731
     else:
         _truncate = lambda df: df.localCheckpoint()  # noqa: E731
@@ -496,6 +512,10 @@ def dedup_cluster(
         labels = jumped
         if changed == 0:
             break
+    if prev_ckpt is not None:
+        # restore the session's prior checkpoint dir (the loop is done —
+        # every reliable checkpoint this run needs is already written)
+        spark.sparkContext.setCheckpointDir(prev_ckpt)
     return (
         d.select("doc_id")
         .join(labels, "doc_id", "left")

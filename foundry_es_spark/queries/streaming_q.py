@@ -80,12 +80,15 @@ def _run_stream(
         )
         q.awaitTermination()
         # Catalog hygiene: the memory sink registers a temp view per run;
-        # detach the result from the catalog (localCheckpoint pins the rows
-        # as blocks — results here are small aggregates) and drop the view
-        # so repeated harness invocations don't accumulate q_<uuid> tables.
-        result = spark.table(name).localCheckpoint()
+        # detach the result from the catalog by collecting it (results
+        # here are small bounded aggregates) and drop the view, so
+        # repeated harness invocations accumulate neither q_<uuid> tables
+        # nor pinned blocks (the previous localCheckpoint detach held its
+        # blocks for the session's lifetime — a storage-memory leak).
+        tbl = spark.table(name)
+        rows, schema = tbl.collect(), tbl.schema
         spark.catalog.dropTempView(name)
-        return result
+        return spark.createDataFrame(rows, schema)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
@@ -236,11 +239,16 @@ def q22_stream_dedup(spark, sf):
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return (
+    # materialize the SMALL rollup, then drop the (large) sink view — same
+    # catalog/block hygiene as _run_stream
+    agg = (
         spark.table(name)
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
     )
+    rows, schema = agg.collect(), agg.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 Q22_SQL = """
@@ -452,7 +460,12 @@ def q23c_stream_stream_join(spark, sf):
             .start()
         )
         q.awaitTermination()
-        return spark.table(name)
+        # detach from the catalog (join output is bounded by the interval
+        # predicate — clicks x purchases within 10 min per user)
+        tbl = spark.table(name)
+        rows, schema = tbl.collect(), tbl.schema
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(rows, schema)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 

@@ -151,13 +151,26 @@ def compile_mapping(
         col = _apply_chain(_source_col(entry, json_col), entry.get("apply"), registry)
         flat.append((to, col))
 
+    # compile-time contract: every collision fails HERE, never later at
+    # select/write time (or — worse — silently, as the old prefix-skip did
+    # when a plain target preceded a dotted one sharing its name)
+    seen: set[str] = set()
+    for to, _ in flat:
+        if to in seen:
+            raise MappingError(f"duplicate target {to!r}")
+        seen.add(to)
+    plain = {t for t, _ in flat if "." not in t}
+    clash = plain & {t.split(".", 1)[0] for t, _ in flat if "." in t}
+    if clash:
+        raise MappingError(
+            f"target(s) {sorted(clash)} used both as a plain column and as "
+            f"a struct prefix"
+        )
+
     out: list[Column] = []
     done_prefix: set[str] = set()
     for to, col in flat:
         if "." not in to:
-            if to in done_prefix:
-                raise MappingError(f"duplicate target {to!r}")
-            done_prefix.add(to)
             out.append(col.alias(to))
             continue
         prefix, _ = to.split(".", 1)

@@ -60,6 +60,25 @@ class SourceSpec:
                 f"source {self.source_id!r}: unknown ingest method {method!r} "
                 f"(expected one of {sorted(_EVENT_METHODS | _RECORD_METHODS)})"
             )
+        # compile-time contract: a spec key that would be silently ignored
+        # is an error, not a no-op (the misconfiguration must surface at
+        # load, never as a wrong table)
+        if method == "parquet_events" and self.mapping:
+            raise MappingError(
+                f"source {self.source_id!r}: parquet_events logs are already "
+                f"engine-shaped and replay as-is — a mapping block would be "
+                f"ignored; map at generation (doc_changes) or use a record "
+                f"source"
+            )
+        if method in _EVENT_METHODS:
+            bad = [s for s in self.workflow if s != "normalize"]
+            if bad:
+                raise MappingError(
+                    f"source {self.source_id!r}: workflow stage(s) {bad} are "
+                    f"record-path stages; event sources run the CDC epoch "
+                    f"body, whose only workflow toggle is 'normalize' (the "
+                    f"T1/T2 enrichment, digest included)"
+                )
 
     @property
     def method(self) -> str:

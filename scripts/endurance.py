@@ -171,6 +171,14 @@ def main() -> None:
             f"no epoch= dirs under {events_dir} (stale _READY marker from a "
             f"consumed run?) — delete the dir and re-run"
         )
+    if not args.keep_events:
+        # consume-mode: drop the READY marker BEFORE the first epoch dir is
+        # deleted — a crash mid-replay must force regeneration, not let a
+        # re-run silently replay only the surviving tail
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
     per_epoch: list[dict] = []
     for e in epochs:
         epoch_dir = os.path.join(events_dir, f"epoch={e}")
@@ -221,7 +229,8 @@ def main() -> None:
         return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
 
     walls = [r["wall_sec"] for r in per_epoch]
-    warm = walls[2:]  # first two epochs carry JVM/codegen spin-up
+    # first two epochs carry JVM/codegen spin-up; tiny smoke runs keep all
+    warm = walls[2:] if len(walls) > 2 else walls
     q = max(1, len(warm) // 4)
     early, late = med(warm[:q]), med(warm[-q:])
     drift = late / early if early else float("inf")

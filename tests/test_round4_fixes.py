@@ -35,10 +35,15 @@ def test_streaming_harness_drops_memory_sink_tables(spark):
     before = {t.name for t in spark.catalog.listTables() if t.name.startswith("q_")}
     df1 = streaming_q.q19_stream_tumbling_agg(spark, SF)
     df2 = streaming_q.q19_stream_tumbling_agg(spark, SF)
+    # q22/q23c bypass the shared _run_stream helper (their own sink setup)
+    # and must detach from the catalog the same way
+    df3 = streaming_q.q22_stream_dedup(spark, SF)
+    df4 = streaming_q.q23c_stream_stream_join(spark, SF)
     after = {t.name for t in spark.catalog.listTables() if t.name.startswith("q_")}
     assert after == before
     # the returned frames stay readable after their views are dropped
     assert df1.count() == df2.count() > 0
+    assert df3.count() > 0 and df4.count() >= 0
 
 
 def test_events_stream_dir_symlink_race_safe(tmp_path, monkeypatch):

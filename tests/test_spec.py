@@ -159,6 +159,13 @@ def test_mapping_udf_enhancer_is_vectorized(spark):
         ([{"from": "a"}], "missing 'to'"),
         ([{"from": "a", "to": "x"}, {"from": "a", "to": "x"}], "duplicate target"),
         ([{"from": "a", "to": "x", "apply": ["udf:nope"]}], "not registered"),
+        # duplicate DOTTED targets must fail too (the struct would carry
+        # two same-named fields and only break later at select time)
+        ([{"from": "a", "to": "d.x"}, {"from": "a", "to": "d.x"}], "duplicate target"),
+        # plain/struct-prefix collision fails in BOTH orders (the
+        # plain-first order used to silently DROP the dotted entry)
+        ([{"from": "a", "to": "d"}, {"from": "a", "to": "d.x"}], "plain column and as"),
+        ([{"from": "a", "to": "d.x"}, {"from": "a", "to": "d"}], "plain column and as"),
     ],
 )
 def test_mapping_compile_time_errors(spark, mapping, msg):
@@ -171,6 +178,19 @@ def test_mapping_compile_time_errors(spark, mapping, msg):
 def test_spec_validation_errors(tmp_path):
     with pytest.raises(MappingError, match="unknown ingest method"):
         SourceSpec(source_id="s", ingest={"method": "ftp"})
+    # keys that would be silently ignored are compile-time errors:
+    # parquet_events replays as-is (a mapping block would be dropped) …
+    with pytest.raises(MappingError, match="mapping block would be ignored"):
+        SourceSpec(source_id="s", ingest={"method": "parquet_events", "path": "/x"},
+                   mapping=[{"from": "a", "to": "b"}])
+    # … and event sources run the epoch body, whose only workflow toggle
+    # is 'normalize' — record-path stages (or typos) must not no-op
+    with pytest.raises(MappingError, match="record-path stages"):
+        SourceSpec(source_id="s", ingest={"method": "doc_changes", "sf_dir": "/x"},
+                   workflow=["digest"])
+    with pytest.raises(MappingError, match="record-path stages"):
+        SourceSpec(source_id="s", ingest={"method": "doc_changes", "sf_dir": "/x"},
+                   workflow=["normalise"])  # the typo that flipped normalize off
     with pytest.raises(MappingError, match="unknown source-spec keys"):
         SourceSpec.from_dict({"source_id": "s", "ingest": {"method": "csv"}, "bogus": 1})
     with pytest.raises(MappingError, match="unknown workflow stage"):
