@@ -3,6 +3,7 @@
 from foundry_es_spark.operators.cdc import (
     compact_latest,
     compact_latest_patch,
+    reharvest_diff_events,
     suppress_unchanged,
     snapshot_diff_events,
     validate_split,
@@ -11,6 +12,7 @@ from foundry_es_spark.operators.cdc import (
 __all__ = [
     "compact_latest",
     "compact_latest_patch",
+    "reharvest_diff_events",
     "suppress_unchanged",
     "snapshot_diff_events",
     "validate_split",

@@ -496,3 +496,102 @@ def snapshot_diff_events(
         F.lit(None).cast("string").alias("lang"),
         F.lit(None).cast("string").alias("content"),
     )
+
+
+_REHARVEST_RESERVED = ("seq", "ts", "op", "_op", "part", "epoch")
+
+
+def reharvest_diff_events(
+    current_state: DataFrame,
+    snapshot: DataFrame,
+    base_seq: int,
+    key_cols: list[str] | None = None,
+    ts_millis: int | None = None,
+    hash_col: str = "content_sha256",
+    content_col: str = "content",
+) -> DataFrame:
+    """Full re-harvest classification — the reference's core ingest
+    semantic: compare a fresh harvest dump against the existing doc store
+    and emit exactly the difference as change events [F-ES:
+    DocumentIngestionService re-harvest check — UNVERIFIED, SURVEY.md
+    §1.1.5]. Per key:
+
+    - in snapshot, not in table            → I (new document)
+    - in both, content digest differs      → U (revised document)
+    - in both, digest equal                → suppressed (C3 — no event)
+    - in table, not in snapshot            → D (deletion-by-absence, C8)
+
+    One job, ONE shuffle: a single full-outer join on the key columns
+    subsumes the three joins (anti for I, anti for D, inner for U+C3)
+    a naive composition of :func:`snapshot_diff_events` +
+    :func:`suppress_unchanged` would run. Scale shape at 100 TB: the
+    table side is projected to keys + the STORED content digest before
+    the exchange (column-pruned scan, ~100 B/row through the shuffle
+    regardless of document size — when ``hash_col`` is absent the digest
+    is computed in the scan projection, still pre-exchange); the snapshot
+    side carries the payload it must carry anyway (the new images).
+
+    Seq assignment is the :func:`snapshot_diff_events` scheme —
+    deterministic, partition-parallel, strictly above ``base_seq``:
+    ``base_seq + key_bucket(1024) * 2^32 + rank-within-bucket`` with a
+    1-based rank (a tie at base_seq would be dropped by the
+    seq-conditional merge). A crash-retry re-run over the unchanged
+    (table, dump) pair therefore regenerates a byte-identical event
+    batch, which together with epoch fencing makes re-harvest
+    exactly-once end-to-end.
+    """
+    from pyspark.sql import Window as W
+
+    key_cols = key_cols or KEY_COLS
+    if content_col not in snapshot.columns:
+        raise ValueError(
+            f"reharvest snapshot must carry {content_col!r} (the digest "
+            f"basis); got columns {snapshot.columns}"
+        )
+    clash = [c for c in snapshot.columns if c in _REHARVEST_RESERVED]
+    if clash:
+        raise ValueError(
+            f"reharvest snapshot columns {clash} collide with generated "
+            f"event columns — a harvest dump is a keyed snapshot, not a "
+            f"change log; drop or rename them in the mapping block (a "
+            f"dump that already has seq/op IS an event source — replay it)"
+        )
+    payload_cols = [c for c in snapshot.columns if c not in key_cols]
+
+    cur_hash = (
+        F.col(hash_col) if hash_col in current_state.columns
+        else F.sha2(F.col(content_col), 256)
+    )
+    state = current_state.select(
+        *key_cols, cur_hash.alias("_cur_hash"), F.lit(True).alias("_in_state")
+    )
+    snap = snapshot.select(
+        *key_cols,
+        F.sha2(F.col(content_col), 256).alias("_new_hash"),
+        F.lit(True).alias("_in_snap"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    )
+    j = snap.join(state, on=key_cols, how="full_outer")
+    op = (
+        F.when(F.col("_in_snap").isNull(), "D")
+        .when(F.col("_in_state").isNull(), "I")
+        .when(~(F.col("_new_hash").eqNullSafe(F.col("_cur_hash"))), "U")
+        # else: unchanged → no event (C3 suppression, pre-merge)
+    )
+    changed = j.withColumn("_rh_op", op).where(F.col("_rh_op").isNotNull())
+
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(1024))
+    rank = F.row_number().over(
+        W.partitionBy(bucket).orderBy(*[F.col(c) for c in key_cols])
+    )
+    ts = F.timestamp_millis(F.lit(int(ts_millis) if ts_millis is not None else 0))
+    return changed.select(
+        (F.lit(base_seq) + bucket * F.lit(1 << 32) + rank).alias("seq"),
+        ts.alias("ts"),
+        F.col("_rh_op").alias("op"),
+        *[F.col(c) for c in key_cols],
+        *[
+            F.when(F.col("_rh_op") != "D", F.col(f"_p_{c}")).alias(c)
+            for c in payload_cols
+        ],
+    )

@@ -985,6 +985,77 @@ class CdcPipeline:
             )
         return results
 
+    def apply_snapshot(
+        self,
+        snapshot: DataFrame,
+        snapshot_ts_ms: int | None = None,
+        skip_empty: bool = True,
+    ) -> dict:
+        """Re-harvest a full dump: classify `snapshot` (a keyed image of
+        the source — mapped harvest records) against the live table and
+        apply exactly the difference as ONE fenced epoch. This closes the
+        reference's harvest loop [F-ES: DocumentIngestionService —
+        UNVERIFIED, SURVEY.md §1.1.5]: new keys insert, changed content
+        updates, unchanged rows are suppressed before the merge (C3),
+        keys absent from the dump delete (C8) — all through the same
+        epoch body (fencing, lineage, dead-letters, normalization) as
+        stream replay, so a source can alternate freely between event
+        tailing and dump re-harvests against one table.
+
+        Exactly-once: the diff's seqs are a deterministic function of
+        (table max_seq, key) — see :func:`reharvest_diff_events` — and
+        the epoch id is the next unfenced epoch, so a crash-retry re-run
+        regenerates the identical batch and the fence/seq-conditional
+        merge absorbs it. A re-run over an UNCHANGED dump diffs to zero
+        events and (with ``skip_empty``) fences nothing — a no-op, not an
+        empty epoch per cron tick.
+
+        Scale shape: the diff join runs ONCE — its (small) output, the
+        changed set, is persisted, counted, merged, and unpersisted; the
+        table side ships only keys + stored digest through the exchange.
+        ``snapshot_ts_ms`` stamps the generated events (pass the dump's
+        harvest/mtime timestamp for deterministic re-runs; defaults 0).
+        """
+        from pyspark import StorageLevel
+
+        from foundry_es_spark.operators.cdc import reharvest_diff_events
+
+        table = self.ensure_table()
+        next_epoch = table.last_epoch(self.cfg.pipeline_id) + 1
+        # base_seq from lineage metadata (driver-side commit-log reads, no
+        # Spark job): the max seq any previous epoch consumed. Generated
+        # diff seqs sit strictly above it, so they win the seq-conditional
+        # merge against every stored row.
+        base_seq = max(
+            (
+                int(i["max_seq"])
+                for i in self._epoch_infos()
+                if i.get("max_seq") is not None
+            ),
+            default=0,
+        )
+        events = reharvest_diff_events(
+            table.read(), snapshot, base_seq=base_seq, ts_millis=snapshot_ts_ms
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n_diff = events.count()
+            if n_diff == 0 and skip_empty:
+                return {
+                    "pipeline_id": self.cfg.pipeline_id,
+                    "epoch": None,
+                    "n_events": 0,
+                    "base_seq": base_seq,
+                    "unchanged": True,
+                }
+            info = self.apply_epoch(events, next_epoch)
+            info["reharvest"] = {
+                "base_seq": base_seq,
+                "snapshot_ts_ms": int(snapshot_ts_ms or 0),
+            }
+            return info
+        finally:
+            events.unpersist()
+
     # ------------------------------------------------- system-table views
 
     def _epoch_infos(self) -> list[dict]:
@@ -996,6 +1067,22 @@ class CdcPipeline:
             if info and info.get("pipeline_id") == self.cfg.pipeline_id:
                 infos.append({**info, "table_version": rec["version"]})
         return infos
+
+    def epoch_summary(self) -> dict:
+        """Driver-side lineage rollup — the numbers an operator's log line
+        needs (fenced epochs, events consumed, high-water seq), straight
+        from commit metadata: ZERO Spark jobs, unlike summing the
+        :meth:`lineage` DataFrame (VERDICT r4 item 6)."""
+        infos = self._epoch_infos()
+        return {
+            "epochs_fenced": len(infos),
+            "last_epoch": max((int(i["epoch"]) for i in infos), default=-1),
+            "events_replayed": int(sum(i.get("n_events") or 0 for i in infos)),
+            "max_seq": max(
+                (int(i["max_seq"]) for i in infos if i.get("max_seq") is not None),
+                default=None,
+            ) if any(i.get("max_seq") is not None for i in infos) else None,
+        }
 
     def lineage(self) -> DataFrame:
         """S6 lineage/metrics table: one row per committed epoch, from the

