@@ -104,7 +104,31 @@ class IcebergBackend:
         # seam for the OCC tests (and a deployment's statement hook)
         return self.spark.sql(sql)
 
-    def _run(self, sql: str, retryable: bool = False) -> None:
+    @staticmethod
+    def _exc_names(exc: Exception) -> str:
+        """The exception's CLASS-NAME surface, not its full repr (ADVICE
+        r4): a Py4J error embeds the whole Java stack trace, where a
+        retry-safe CommitFailedException's caused-by chain may mention
+        ValidationException — substring-matching repr() would misroute it.
+        We match against (a) the Python class name (the scripted-catalog
+        stand-ins), (b) the Java exception's class name when Py4J exposes
+        one, (c) the first line of str(exc) (where Py4J prints
+        `java.lang.Foo: message`)."""
+        names = [type(exc).__name__]
+        je = getattr(exc, "java_exception", None)
+        if je is not None:
+            try:
+                names.append(je.getClass().getName())
+            except Exception:
+                pass
+        s = str(exc).strip()
+        if s:
+            names.append(s.splitlines()[0])
+        return " ".join(names)
+
+    def _run(
+        self, sql: str, retryable: bool = False, still_needed=None
+    ) -> bool:
         """Issue one statement. ``retryable`` marks write statements whose
         re-issue is row-level idempotent (see _RETRY_MARKERS note): lost or
         unknown commits are re-issued up to ``commit_retries`` times, then
@@ -112,30 +136,46 @@ class IcebergBackend:
         failures surface immediately as ConcurrentWriteConflict (the caller
         must re-plan from the new snapshot — retrying verbatim is what the
         re-run IS, the statement re-reads current state, but the DECISION
-        to re-run belongs to the caller, exactly like the local backend)."""
+        to re-run belongs to the caller, exactly like the local backend).
+
+        ``still_needed`` (ADVICE r4, medium): re-evaluated before every
+        RE-issue — a retryable statement whose effect is now moot (e.g. a
+        fence SET after a concurrent writer fenced a LATER epoch of the
+        same pipeline between attempts) must not be replayed verbatim, or
+        it would regress state the race already advanced. The first issue
+        is the caller's decision; only retries re-check.
+
+        Returns True when the statement took effect (or plan mode logged
+        it); False when a retry was abandoned because ``still_needed``
+        said the effect is moot — callers maintaining shadow state must
+        not record an abandoned statement."""
         sql = " ".join(sql.split())
         attempts = (self.commit_retries + 1) if retryable else 1
         for i in range(attempts):
+            if i > 0 and still_needed is not None and not still_needed():
+                return False
             self.sql_log.append(sql)
             if not self.execute:
-                return
+                return True
             try:
                 self._execute(sql)
-                return
+                return True
             except commitlog.ConcurrentWriteConflict:
                 raise
             except Exception as exc:
-                msg = repr(exc)
-                if any(m in msg for m in _CONFLICT_MARKERS):
-                    raise commitlog.ConcurrentWriteConflict(
-                        f"serializable validation failed for: {sql[:120]}…"
-                    ) from exc
-                if retryable and any(m in msg for m in _RETRY_MARKERS):
+                names = self._exc_names(exc)
+                # retry markers FIRST for retryable statements: a lost
+                # commit wins over an incidental conflict mention
+                if retryable and any(m in names for m in _RETRY_MARKERS):
                     if i < attempts - 1:
                         continue
                     raise commitlog.ConcurrentWriteConflict(
                         f"commit retry budget ({self.commit_retries}) "
                         f"exhausted for: {sql[:120]}…"
+                    ) from exc
+                if any(m in names for m in _CONFLICT_MARKERS):
+                    raise commitlog.ConcurrentWriteConflict(
+                        f"serializable validation failed for: {sql[:120]}…"
                     ) from exc
                 raise
 
@@ -206,12 +246,18 @@ class IcebergBackend:
         # rebases onto reloaded base metadata under commit.retry.
         if epoch_id <= self.last_epoch(pipeline_id):
             return
-        self._run(
+        applied = self._run(
             f"ALTER TABLE {self.fqtn} SET TBLPROPERTIES "
             f"('{self._fence_key(pipeline_id)}' = '{epoch_id}')",
             retryable=True,
+            # ADVICE r4 (medium): re-check monotonicity before every
+            # RE-issue — if a concurrent writer fenced a later epoch of
+            # this pipeline between attempts, replaying our lower SET
+            # would regress the fence and reopen theirs for double-apply
+            still_needed=lambda: epoch_id > self.last_epoch(pipeline_id),
         )
-        self._props[self._fence_key(pipeline_id)] = str(epoch_id)
+        if applied:
+            self._props[self._fence_key(pipeline_id)] = str(epoch_id)
 
     def fence_epoch_only(self, pipeline_id: str, epoch_id: int, info: dict | None = None) -> None:
         self._advance_fence_sql(pipeline_id, epoch_id)

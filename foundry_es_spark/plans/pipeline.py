@@ -999,8 +999,17 @@ class CdcPipeline:
         updates, unchanged rows are suppressed before the merge (C3),
         keys absent from the dump delete (C8) — all through the same
         epoch body (fencing, lineage, dead-letters, normalization) as
-        stream replay, so a source can alternate freely between event
-        tailing and dump re-harvests against one table.
+        stream replay.
+
+        Interleaving contract (the Debezium snapshot-fences-stream model):
+        a re-harvest asserts "this dump is the newest truth", so its
+        events are stamped strictly ABOVE the table's high-water seq
+        (:meth:`_table_high_water_seq`, spanning every pipeline feeding
+        the table). Stream events already consumed can therefore never
+        resurrect overwritten rows — but a tail that RESUMES after a
+        re-harvest must emit seqs above ``epoch_summary()['max_seq']``
+        (re-position the connector), exactly as a binlog connector
+        re-snapshots its offset after a snapshot load.
 
         Exactly-once: the diff's seqs are a deterministic function of
         (table max_seq, key) — see :func:`reharvest_diff_events` — and
@@ -1022,18 +1031,7 @@ class CdcPipeline:
 
         table = self.ensure_table()
         next_epoch = table.last_epoch(self.cfg.pipeline_id) + 1
-        # base_seq from lineage metadata (driver-side commit-log reads, no
-        # Spark job): the max seq any previous epoch consumed. Generated
-        # diff seqs sit strictly above it, so they win the seq-conditional
-        # merge against every stored row.
-        base_seq = max(
-            (
-                int(i["max_seq"])
-                for i in self._epoch_infos()
-                if i.get("max_seq") is not None
-            ),
-            default=0,
-        )
+        base_seq = self._table_high_water_seq()
         events = reharvest_diff_events(
             table.read(), snapshot, base_seq=base_seq, ts_millis=snapshot_ts_ms
         ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1055,6 +1053,29 @@ class CdcPipeline:
             return info
         finally:
             events.unpersist()
+
+    def _table_high_water_seq(self) -> int:
+        """Max seq any writer of THIS table has consumed — across ALL
+        pipeline ids, because a table may be fed by several (a routed
+        stream plus a re-harvest pipeline share one table but keep
+        separate fence domains). Driver-side commit-log metadata, no
+        Spark job; a table with rows but no lineage (imported/foreign)
+        falls back to one column-pruned ``max(_seq)`` aggregate so
+        generated diff seqs still clear every stored row."""
+        v = commitlog.current_version(self.cfg.table_dir)
+        hw = None
+        for i in range((v or -1) + 1):
+            info = commitlog.read_commit(self.cfg.table_dir, i).get("epoch_info")
+            if info and info.get("max_seq") is not None:
+                s = int(info["max_seq"])
+                hw = s if hw is None or s > hw else hw
+        if hw is not None:
+            return hw
+        table = self.ensure_table()
+        if hasattr(table, "read_internal"):
+            row = table.read_internal().agg(F.max("_seq")).collect()[0][0]
+            return int(row) if row is not None else 0
+        return 0
 
     # ------------------------------------------------- system-table views
 

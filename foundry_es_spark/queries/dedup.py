@@ -444,6 +444,18 @@ def dedup_cluster(
         _truncate = lambda df: df.checkpoint()  # noqa: E731
     else:
         _truncate = lambda df: df.localCheckpoint()  # noqa: E731
+    try:
+        return _dedup_cluster_body(spark, sf, chunk_words, max_iter, _truncate)
+    finally:
+        # ADVICE r4: restore the GLOBAL checkpoint dir on every exit path
+        # (an exception mid-iteration must not leave later consumers
+        # pointed at this call's cc-<id> namespace); a session with no
+        # prior dir gets the caller's PARENT dir, not our private subdir
+        if checkpoint_dir is not None:
+            sc.setCheckpointDir(prev_ckpt if prev_ckpt is not None else checkpoint_dir)
+
+
+def _dedup_cluster_body(spark, sf, chunk_words, max_iter, _truncate):
     d = table(spark, sf, "documents")
     words = F.split(F.lower(F.col("text")), r"\s+")
     n_chunks = F.floor(F.size("w") / chunk_words).cast("int")
@@ -512,10 +524,6 @@ def dedup_cluster(
         labels = jumped
         if changed == 0:
             break
-    if prev_ckpt is not None:
-        # restore the session's prior checkpoint dir (the loop is done —
-        # every reliable checkpoint this run needs is already written)
-        spark.sparkContext.setCheckpointDir(prev_ckpt)
     return (
         d.select("doc_id")
         .join(labels, "doc_id", "left")

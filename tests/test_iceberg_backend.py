@@ -438,6 +438,53 @@ def test_occ_fence_is_monotonic(be):
     assert be.last_epoch("A") == 6 and be.last_epoch("B") == 0
 
 
+def test_occ_fence_retry_rechecks_monotonicity(be):
+    """ADVICE r4 (medium): a fence SET that loses its first CAS attempt
+    must re-check last_epoch before every RE-issue — when a concurrent
+    writer fenced a LATER epoch of the same pipeline between attempts,
+    replaying the lower SET verbatim would regress the fence and reopen
+    the later epoch for double-apply."""
+    _scripted_catalog(be)
+    orig_exec = be._execute
+    state = {"raced": False}
+
+    def _exec(sql):
+        if "graft.fence.A" in sql and not state["raced"]:
+            state["raced"] = True
+            # the racing writer lands epoch 5 while our SET('3') is in
+            # flight; our CAS loses
+            be._props["graft.fence.A"] = "5"
+            raise CommitFailedException("CAS lost to the racing fence")
+        return orig_exec(sql)
+
+    be._execute = _exec
+    be.fence_epoch_only("A", 3)  # must NOT regress 5 → 3 on retry
+    sets = [s for s in be.sql_log if "graft.fence.A" in s]
+    assert len(sets) == 1, "the stale SET must not be re-issued"
+    assert be.last_epoch("A") == 5, "the racing writer's later fence stands"
+    # and a genuinely newer fence still advances normally afterwards
+    be.fence_epoch_only("A", 6)
+    assert be.last_epoch("A") == 6
+
+
+def test_occ_classification_by_exception_name(be, spark):
+    """ADVICE r4: classification matches the exception's class-name
+    surface, not its full repr — a retry-safe CommitFailedException whose
+    caused-by chain mentions ValidationException (as Py4J stack traces
+    do) must be RETRIED, not surfaced as a conflict."""
+    _scripted_catalog(be, [(
+        "MERGE INTO",
+        CommitFailedException(
+            "metadata swap lost\n"
+            "Caused by: org.apache.iceberg.exceptions.ValidationException: "
+            "found conflicting files (nested, must not trigger conflict path)"
+        ),
+    )])
+    be.merge_upsert(_src(spark), fence=("A", 0))  # retried, then lands
+    assert sum(s.startswith("MERGE INTO") for s in be.sql_log) == 2
+    assert be.last_epoch("A") == 0
+
+
 def test_occ_compaction_conflict_replans(be):
     """Twin of test_ingest_races_compaction (maintenance side): a rewrite
     whose input files moved fails validation -> ConcurrentWriteConflict,

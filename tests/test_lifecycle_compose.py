@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -65,7 +65,7 @@ PATHS = [f"p{i}" for i in range(4)]
 
 ACTIONS = [
     "compact", "expire", "vacuum", "redeliver", "resume", "rollback",
-    "dedup", "curation", "derived", "gc_tombstones", "none",
+    "dedup", "curation", "derived", "gc_tombstones", "reharvest", "none",
 ]
 
 EVENT_ST = st.tuples(
@@ -101,6 +101,17 @@ def _canon(df):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(compose_logs())
+# pinned example so the re-harvest action composes with rollback and the
+# maintainers on EVERY run (VERDICT r4 item 8), not only when hypothesis
+# happens to draw it
+@example((
+    [(0, 0, "I", 0), (0, 1, "I", 1), (1, 0, "I", 3),
+     (2, 0, "I", 5), (0, 0, "U", 2), (1, 1, "I", 4),
+     (0, 1, "D", 0), (3, 1, "I", 5), (0, 2, "I", 1),
+     (1, 0, "U", 0), (2, 1, "I", 2), (0, 3, "I", 3)],
+    4,
+    ["reharvest", "rollback", "reharvest", "dedup"],
+))
 def test_multi_source_lifecycle_compose(spark, tmp_path_factory, log):
     evs, n_epochs, actions = log
     tmp = str(tmp_path_factory.mktemp("compose"))
@@ -160,6 +171,52 @@ def test_multi_source_lifecycle_compose(spark, tmp_path_factory, log):
 
     d, dd, cm = mk_maintainers(routed)
 
+    # VERDICT r4 item 8: a re-harvest (dump → snapshot-diff → fenced
+    # epoch, its own pipeline_id against route a's table) interleaves
+    # with everything else. Its events sit strictly above the table
+    # high-water seq, so in the fold oracle each re-harvest is a FINAL
+    # override (applied after the whole stream folds), in occurrence
+    # order — the exact seq-conditional-merge semantic.
+    overrides: list[tuple] = []
+
+    def do_reharvest(e):
+        rh = CdcPipeline(
+            spark,
+            PipelineConfig(pipeline_id="rh-a", table_dir=f"{tmp}/ta",
+                           n_buckets=4, normalize=False, merge_mode="mor",
+                           compact_threshold=3),
+        )
+        live = rh.table.read()
+        keys = sorted(
+            (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+            for r in live.collect()
+        )
+        if not keys:
+            info = rh.apply_snapshot(live, snapshot_ts_ms=e)
+            assert info["unchanged"] and info["epoch"] is None
+            return
+        kill = keys[-1]
+        revise = keys[0] if len(keys) > 1 else None
+        dump_rows = []
+        for k in keys:
+            if k == kill:
+                continue  # deletion-by-absence
+            if revise is not None and k == revise:
+                k = (*k[:4], (k[4] or "") + " [reharvested]")
+            dump_rows.append(k)
+        dump = spark.createDataFrame(
+            pd.DataFrame(dump_rows, columns=["repo", "path", "commit", "lang", "content"]),
+            "repo string, path string, commit string, lang string, content string",
+        )
+        info = rh.apply_snapshot(dump, snapshot_ts_ms=e)
+        assert info["n_events"] == (2 if revise is not None else 1)
+        overrides.append(("del", kill[0], kill[1]))
+        if revise is not None:
+            overrides.append(
+                ("upd", revise[0], revise[1], revise[2], revise[3],
+                 (revise[4] or "") + " [reharvested]")
+            )
+
     per_epoch = max(1, (len(rows) + n_epochs - 1) // n_epochs)
     for e in range(n_epochs):
         chunk = sdf.where(
@@ -199,11 +256,41 @@ def test_multi_source_lifecycle_compose(spark, tmp_path_factory, log):
             hz = (e + 1) * per_epoch - 1
             routed.table("a").purge_tombstones(horizon_seq=hz)
             routed.table("b").purge_tombstones(horizon_seq=hz)
+        elif act == "reharvest":
+            do_reharvest(e)
 
     # ------------------------------------------------- standing invariants
-    # 1. each route's table == fold oracle of its own event slice
+    # 1. each route's table == fold oracle of its own event slice, with
+    #    re-harvest overrides applied LAST in occurrence order (their seqs
+    #    exceed every stream seq, so that is the merge's own semantics)
+    import hashlib
+
     for name, pred in (("a", "ra"), ("b", "rb")):
         exp = fold_events(pdf[pdf["repo"].str.startswith(pred)])
+        if name == "a":
+            for ov in overrides:
+                if ov[0] == "del":
+                    exp = exp[~((exp["repo"] == ov[1]) & (exp["path"] == ov[2]))]
+                else:
+                    # UPSERT: a later stream D/U for this key LOSES the
+                    # seq-conditional merge (its seq is below the
+                    # re-harvest's), so the captured image must stand even
+                    # if the plain fold dropped or rewrote the row
+                    _, r_, p_, c_, l_, body = ov
+                    sha = hashlib.sha256(body.encode()).hexdigest()
+                    m = (exp["repo"] == r_) & (exp["path"] == p_)
+                    if m.any():
+                        exp.loc[m, ["commit", "lang"]] = [c_, l_]
+                        exp.loc[m, "content_sha256"] = sha
+                    else:
+                        exp = pd.concat(
+                            [exp, pd.DataFrame([{
+                                "repo": r_, "path": p_, "commit": c_,
+                                "lang": l_, "content_sha256": sha,
+                            }])],
+                            ignore_index=True,
+                        )
+            exp = exp.sort_values(["repo", "path"]).reset_index(drop=True)
         got = (
             routed.table(name).read()
             .select("repo", "path", "commit", "lang",
