@@ -63,11 +63,17 @@ _BOARD_PRIORITY = [
     "text_decontaminate", "text_tfidf_topk",
     # multimodal + corpus curation (corpus_curate_e2e composes gopher
     # filter -> exact dedup -> decontamination -> domain cap, so one board
-    # row witnesses all four stages)
-    "multimodal_features", "corpus_curate_e2e",
+    # row witnesses all four stages). multimodal_decode_ppm holds the
+    # multimodal slot: it exercises the SAME binary/mapInPandas plumbing
+    # multimodal_features does PLUS a real dependency-free codec (P6
+    # parser) whose oracle recomputes decoded pixel sums independently —
+    # strictly stronger evidence for one row (VERDICT r4 item 3)
+    "multimodal_decode_ppm", "corpus_curate_e2e",
     # past the driver's 50-row cap: family siblings already proven above
     # (text_lang_confusion by text_lang_id; the corpus caps by
-    # corpus_curate_e2e which ends in a domain cap)
+    # corpus_curate_e2e which ends in a domain cap; multimodal_features /
+    # multimodal_decode_wav by multimodal_decode_ppm)
+    "multimodal_decode_wav", "multimodal_features",
     "text_lang_confusion", "corpus_domain_cap", "corpus_mix_budget",
 ]
 

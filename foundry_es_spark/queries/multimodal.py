@@ -1,12 +1,26 @@
-"""Multimodal column plumbing: image/audio/video as opaque `binary` columns
-with typed metadata (SURVEY.md training-data layer).
+"""Multimodal columns: image/audio/video as `binary` columns with typed
+metadata (SURVEY.md training-data layer).
 
-The decode libraries (PIL/ffmpeg/librosa) are absent in this container, so
-the decode step is STUBBED behind `decode_media` — a deterministic fake
-that derives "features" from the bytes themselves (documented below, and a
-NotImplementedError guard for real codecs). Everything around the stub —
-binary schema, Arrow batch shape, mapInPandas signature, partition-size
-control for large blobs — is real and tested.
+Two decode tiers (VERDICT r4 item 3):
+
+- REAL, dependency-free codecs for self-describing formats: a PPM (P6)
+  image parser and a WAV (RIFF/PCM16) audio parser, implemented here from
+  the public format specs — header tokenization with comment handling for
+  PPM, chunk-walking for RIFF — decoding REAL encoded blobs inside the
+  same Arrow-batched mapInPandas plumbing. Their board queries
+  (multimodal_decode_ppm / multimodal_decode_wav) aggregate the DECODED
+  samples into integer statistics that a DuckDB oracle recomputes
+  INDEPENDENTLY from the deterministic generation formula — if either
+  the encoder or the parser mis-handles one byte, the sums diverge.
+- An opaque-codec tier for formats whose libraries (PIL/ffmpeg) are
+  absent in this container: `decode_media` derives features from the
+  bytes themselves and keeps a NotImplementedError guard on the real
+  codec path. The plumbing — binary schema, Arrow batch shape, bounded
+  batches for large blobs — is shared with the real tier.
+
+Per-row cost note: decode loops are per-BLOB (exactly how PIL/soundfile
+are driven in production), with all per-SAMPLE work vectorized in numpy
+(`np.frombuffer` + integer reductions) — no per-sample Python anywhere.
 """
 
 from __future__ import annotations
@@ -107,6 +121,223 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------- real codecs
+# PPM P6 (netpbm spec) and WAV PCM (RIFF spec): self-describing formats
+# that need no external library, so the production decode contract —
+# parse REAL encoded bytes, not a hash of them — is exercised end-to-end.
+
+PPM_DIMS = (5, 7)      # width = 4 + id % 5, height = 3 + id % 7
+WAV_RATE = 8000        # Hz, PCM16 mono
+WAV_BASE, WAV_STEP, WAV_MOD = 400, 8, 50  # n_samples = 400 + (id % 50) * 8
+
+
+def encode_ppm(media_id: int) -> bytes:
+    """Deterministic P6 blob: pixel byte j = (id*31 + j*7) % 256. The
+    header deliberately includes a comment line — parsers that assume a
+    fixed 3-token header (instead of tokenizing per the netpbm spec)
+    break on it."""
+    w = 4 + media_id % PPM_DIMS[0]
+    h = 3 + media_id % PPM_DIMS[1]
+    j = np.arange(w * h * 3, dtype=np.int64)
+    px = ((media_id * 31 + j * 7) % 256).astype(np.uint8)
+    return f"P6\n# synthetic fixture {media_id}\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def decode_ppm(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """P6 parser per the netpbm spec: tokenize the header (whitespace-
+    separated magic/width/height/maxval, `#` comments run to end-of-line),
+    then exactly w*h*3 raster bytes after the single whitespace byte that
+    terminates maxval. Returns (width, height, pixels[h,w,3] uint8)."""
+    if blob[:2] != b"P6":
+        raise ValueError(f"not a P6 ppm (magic {blob[:2]!r})")
+    toks, i, n = [], 2, len(blob)
+    while len(toks) < 3:
+        while i < n and blob[i : i + 1].isspace():
+            i += 1
+        if i < n and blob[i : i + 1] == b"#":
+            while i < n and blob[i] != 0x0A:
+                i += 1
+            continue
+        start = i
+        while i < n and not blob[i : i + 1].isspace():
+            i += 1
+        if start == i:
+            raise ValueError("truncated ppm header")
+        toks.append(int(blob[start:i]))
+    w, h, maxval = toks
+    if maxval != 255:
+        raise ValueError(f"only 8-bit ppm supported (maxval {maxval})")
+    raster = blob[i + 1 : i + 1 + w * h * 3]  # single whitespace after maxval
+    if len(raster) != w * h * 3:
+        raise ValueError(f"raster has {len(raster)} bytes, want {w * h * 3}")
+    return w, h, np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_wav(media_id: int) -> bytes:
+    """Deterministic RIFF/PCM16 mono blob: sample k =
+    ((id*13 + k*97) % 65536) - 32768. A LIST metadata chunk sits between
+    fmt and data — parsers that hard-code the data offset (instead of
+    walking chunks per the RIFF spec) break on it."""
+    import struct
+
+    n = WAV_BASE + (media_id % WAV_MOD) * WAV_STEP
+    k = np.arange(n, dtype=np.int64)
+    samples = (((media_id * 13 + k * 97) % 65536) - 32768).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+    info = b"INFOISFT" + struct.pack("<I", 8) + b"fixture\x00"
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(info)) + info
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(blob: bytes) -> tuple[int, np.ndarray]:
+    """RIFF walker per the WAV spec: verify RIFF/WAVE, then iterate
+    <id, size, payload> chunks (word-aligned) taking format from `fmt `
+    and samples from `data` — unknown chunks are skipped, not assumed
+    absent. Returns (sample_rate, samples int16)."""
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    i, n = 12, len(blob)
+    rate, bits, channels, data = None, None, None, None
+    while i + 8 <= n:
+        cid = blob[i : i + 4]
+        (size,) = struct.unpack("<I", blob[i + 4 : i + 8])
+        body = blob[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if audio_fmt != 1:
+                raise ValueError(f"only PCM supported (format {audio_fmt})")
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError(f"fixture decoder expects PCM16 mono, got {bits}/{channels}")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def media_codec_table(spark, sf) -> DataFrame:
+    """REAL encoded blobs keyed off documents: even doc_id → PPM image,
+    odd → WAV audio. Synthesis runs in the same bounded mapInPandas shape
+    real ingestion uses (per-blob loop, per-sample numpy)."""
+    ids = table(spark, sf, "documents").select(F.col("doc_id").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids = pdf["media_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "kind": np.where(mids % 2 == 0, "image", "audio"),
+                    "media": [
+                        encode_ppm(int(m)) if m % 2 == 0 else encode_wav(int(m))
+                        for m in mids
+                    ],
+                }
+            )
+
+    return ids.mapInPandas(gen, schema="media_id long, kind string, media binary")
+
+
+def multimodal_decode_ppm(spark, sf) -> DataFrame:
+    """Decode REAL PPM blobs and aggregate the decoded raster into
+    integer-exact per-channel sums. The DuckDB twin recomputes the same
+    sums from the generation formula WITHOUT touching the blob, so a
+    green row proves encoder+parser agree byte-for-byte end-to-end."""
+    m = media_codec_table(spark, sf).where(F.col("kind") == "image")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                w, h, px = decode_ppm(bytes(blob))
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append((int(mid), w, h, *map(int, sums)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return m.mapInPandas(
+        run,
+        schema="media_id long, width int, height int, "
+               "sum_r long, sum_g long, sum_b long",
+    ).orderBy("media_id")
+
+
+def multimodal_decode_wav(spark, sf) -> DataFrame:
+    """Decode REAL WAV blobs: sample rate and count from the parsed RIFF
+    structure, duration derived, amplitude sum over the DECODED int16
+    samples — all integer-exact for the hash compare."""
+    m = media_codec_table(spark, sf).where(F.col("kind") == "audio")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                rate, samples = decode_wav(bytes(blob))
+                rows.append(
+                    (
+                        int(mid),
+                        int(rate),
+                        int(samples.size),
+                        int(samples.size * 1000 // rate),
+                        int(np.abs(samples.astype(np.int64)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples",
+                         "duration_ms", "sum_abs"],
+            )
+
+    return m.mapInPandas(
+        run,
+        schema="media_id long, sample_rate int, n_samples int, "
+               "duration_ms int, sum_abs long",
+    ).orderBy("media_id")
+
+
+# DuckDB twins recompute the decoded statistics from the generation
+# formulas alone (no blob, no parser): pixel j = (id*31 + j*7) % 256 over
+# j < w*h*3 with channel = j % 3; sample k = ((id*13 + k*97) % 65536) -
+# 32768 over k < 400 + (id % 50) * 8.
+MULTIMODAL_PPM_SQL = """
+SELECT d.doc_id AS media_id,
+       CAST(4 + d.doc_id % 5 AS INT) AS width,
+       CAST(3 + d.doc_id % 7 AS INT) AS height,
+       CAST(SUM(CASE WHEN j % 3 = 0 THEN (d.doc_id*31 + j*7) % 256 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN j % 3 = 1 THEN (d.doc_id*31 + j*7) % 256 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN j % 3 = 2 THEN (d.doc_id*31 + j*7) % 256 END) AS BIGINT) AS sum_b
+FROM documents d,
+     UNNEST(range(0, (4 + d.doc_id % 5) * (3 + d.doc_id % 7) * 3)) AS t(j)
+WHERE d.doc_id % 2 = 0
+GROUP BY d.doc_id
+ORDER BY media_id
+"""
+
+MULTIMODAL_WAV_SQL = """
+SELECT d.doc_id AS media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(400 + (d.doc_id % 50) * 8 AS INT) AS n_samples,
+       CAST((400 + (d.doc_id % 50) * 8) * 1000 / 8000 AS INT) AS duration_ms,
+       CAST(SUM(ABS((d.doc_id*13 + k*97) % 65536 - 32768)) AS BIGINT) AS sum_abs
+FROM documents d,
+     UNNEST(range(0, 400 + (d.doc_id % 50) * 8)) AS t(k)
+WHERE d.doc_id % 2 = 1
+GROUP BY d.doc_id
+ORDER BY media_id
+"""
+
+
 def multimodal_frame_sample(spark, sf):
     """Frame-sampling shape: explode k hash-derived 'frame offsets' per
     video row — the partition/explode plumbing of real frame extraction.
@@ -126,8 +357,12 @@ def multimodal_frame_sample(spark, sf):
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_decode_ppm": multimodal_decode_ppm,
+    "multimodal_decode_wav": multimodal_decode_wav,
 }
 
 ORACLES = {
     "multimodal_features": MULTIMODAL_SQL,
+    "multimodal_decode_ppm": MULTIMODAL_PPM_SQL,
+    "multimodal_decode_wav": MULTIMODAL_WAV_SQL,
 }
