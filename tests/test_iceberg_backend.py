@@ -303,6 +303,77 @@ def test_patch_pipeline_dispatches_patch_merge(spark):
     assert "WHEN NOT MATCHED AND s._op != 'D'" in be2.sql_log[-1]
 
 
+def test_source_spec_iceberg_parity_with_hand_wired(spark, tmp_path):
+    """VERDICT r4 item 4: a JSON harvest description whose pipeline block
+    declares an Iceberg backend must produce EXACTLY the statement stream
+    (CREATE → IDENTIFIER FIELDS → per-epoch MERGE INTO → fence, …) the
+    hand-wired CdcPipeline issues over the same events — the config layer
+    adds no execution path of its own."""
+    from foundry_es_spark.fixtures import doc_change_events, write_event_log
+    from foundry_es_spark.plans import CdcPipeline, PipelineConfig
+    from foundry_es_spark.spec import SourceSpec, run_source
+
+    sf_dir = "/root/testdata/sf0.001"
+    fqtn = "lake.db.cdcspec"
+
+    # ---- config-driven: the spec names its Iceberg table in JSON
+    spec = SourceSpec(
+        source_id="ice_src",
+        ingest={"method": "doc_changes", "sf_dir": sf_dir,
+                "epoch_size": 800, "parts": 4},
+        workflow=["normalize"],
+        pipeline={"n_buckets": 8, "backend": {"type": "iceberg", "table": fqtn}},
+    )
+    pipe_cfg = run_source(spark, spec, str(tmp_path / "w_cfg"))
+    cfg_log = list(pipe_cfg.table.sql_log)
+    assert any(s.startswith("MERGE INTO") for s in cfg_log)
+    assert cfg_log[0].startswith(f"CREATE TABLE IF NOT EXISTS {fqtn}")
+
+    # ---- hand-wired twin: same events, same config, no spec layer
+    from pyspark.sql import functions as F
+
+    be = IcebergBackend(spark, fqtn, n_buckets=8)
+    events = doc_change_events(spark, sf_dir).withColumn(
+        "part", F.pmod(F.xxhash64("repo"), F.lit(4))
+    )
+    write_event_log(events, str(tmp_path / "events_hand"), epoch_size=800)
+    hand = CdcPipeline(
+        spark,
+        PipelineConfig(pipeline_id="ice_src", table_dir=str(tmp_path / "w_hand"),
+                       n_buckets=8, normalize=True, backend=be),
+    )
+    hand.replay_event_dir(str(tmp_path / "events_hand"))
+    assert list(be.sql_log) == cfg_log, "config layer must add/alter nothing"
+
+    # exactly-once through the spec layer: the SAME pipeline re-replaying
+    # its event dir finds every epoch fenced and issues NOTHING
+    n = len(pipe_cfg.table.sql_log)
+    pipe_cfg.replay_event_dir(str(tmp_path / "w_cfg" / "events"))
+    assert len(pipe_cfg.table.sql_log) == n
+
+
+def test_source_spec_backend_validation():
+    from foundry_es_spark.spec import SourceSpec
+    from foundry_es_spark.spec.mapping import MappingError
+    import pytest as _pytest
+
+    base = dict(
+        source_id="x",
+        ingest={"method": "doc_changes", "sf_dir": "/tmp"},
+    )
+    for bad in (
+        {"type": "hive", "table": "a.b.c"},
+        {"type": "iceberg"},
+        {"type": "iceberg", "table": "a.b.c", "bogus": 1},
+        "iceberg",
+    ):
+        spec = SourceSpec(**base, pipeline={"backend": bad})
+        from foundry_es_spark.spec.source import build_pipeline
+
+        with _pytest.raises(MappingError):
+            build_pipeline(None, spec, table_dir="/tmp/t")
+
+
 # --------------------------------------------------------------- OCC twins
 # VERDICT r3 item 5: one golden per tests/test_concurrent.py scenario —
 # the exact statement/exception sequence the Iceberg path produces under
