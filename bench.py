@@ -15,12 +15,16 @@ BASELINE.json:L2) and (b) every entry of the Layer-B query surface
 
 Scaling mode (``--scaling``) — evidences the two-cluster-size criterion
 (north_rule: throughput efficiency >= 0.8 from N to 4N executors) by running
-the SAME replay input at local[8] and local[32] in fresh JVMs (subprocess per
-level) and writing ``BENCH/BASELINE.md``.
+the SAME replay input at local[N] and local[4N] in fresh JVMs, A/B/B/A
+counterbalanced within the run, with per-epoch host-contention capture and
+criterion-based exclusion (VERDICT r4 item 5; prose in BENCH/BASELINE.md).
+``--scaling-agg`` folds all recorded runs into the headline estimate
+(median + trimmed mean over included runs).
 
 Usage:
     python bench.py                 # driver mode: one JSON line on stdout
-    python bench.py --scaling       # local[8] vs local[32] evidence
+    SPARK_GRAFT_SCALING_RUN=1 python bench.py --scaling   # one A/B/B/A run
+    python bench.py --scaling-agg   # aggregate all recorded r5 runs
     python bench.py --replay-only --cpus 8   # internal subprocess mode
 """
 
@@ -66,6 +70,39 @@ def _sf_of(sf_dir: str) -> float:
         return float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         return -1.0
+
+
+def _host_stat() -> dict:
+    """Aggregate host CPU counters (/proc/stat line 1, jiffies since boot).
+
+    VERDICT r4 item 5: the scaling evidence must record host contention
+    alongside each epoch so noisy runs are excluded by CRITERION, not
+    judgment. ``steal`` is hypervisor steal (the virtio neighbor signal);
+    ``busy`` is everything non-idle, which includes our own JVM — the
+    consumer subtracts the level's expected own usage to estimate foreign
+    load."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError):  # non-Linux fallback: no exclusions
+        return {"total": 0, "idle": 0, "steal": 0}
+    total = sum(vals[:8])
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+    steal = vals[7] if len(vals) > 7 else 0
+    return {"total": total, "idle": idle, "steal": steal}
+
+
+def _host_delta(before: dict, after: dict) -> dict:
+    """Per-window host contention: steal fraction and busy cores."""
+    dt = after["total"] - before["total"]
+    if dt <= 0:
+        return {"steal_frac": 0.0, "busy_cores": 0.0}
+    ncpu = os.cpu_count() or 1
+    busy = dt - (after["idle"] - before["idle"])
+    return {
+        "steal_frac": round((after["steal"] - before["steal"]) / dt, 4),
+        "busy_cores": round(busy / dt * ncpu, 2),
+    }
 
 
 def ensure_event_log(spark) -> str:
@@ -128,13 +165,14 @@ def run_replay(
     from foundry_es_spark.plans import offsets_from_footers
 
     warmup = min(warmup, len(epochs) - 1)
-    epoch_sec = []
+    epoch_sec, epoch_host = [], []
     for e in epochs:
-        te = time.monotonic()
+        te, h0 = time.monotonic(), _host_stat()
         epoch_dir = os.path.join(events_dir, f"epoch={e}")
         batch = spark.read.parquet(epoch_dir)
         pipe.apply_epoch(batch, e, offsets_hint=offsets_from_footers(epoch_dir))
         epoch_sec.append(round(time.monotonic() - te, 3))
+        epoch_host.append(_host_delta(h0, _host_stat()))
     total = time.monotonic() - t0
     # median of post-warmup epochs: robust to host-noise straggler epochs
     measured = sorted(epoch_sec[warmup:])
@@ -148,6 +186,7 @@ def run_replay(
         "epochs": len(epochs),
         "wall_sec": round(total, 3),
         "epoch_sec": epoch_sec,
+        "epoch_host": epoch_host,
         "median_epoch_sec": round(med, 3),
         "events_per_sec": round(epoch_events / med, 1),
         "final_rows": n_rows,
@@ -294,18 +333,64 @@ def _replay_only(cpus: int, mode: str = "mor", warmup: int = 1) -> dict:
     return {"cpus": cpus, **res}
 
 
+# -- contention criterion (VERDICT r4 item 5): noisy measurements are
+# excluded by CRITERION, not judgment. An epoch window is contended when
+# hypervisor steal exceeds 2% of its jiffies, or foreign busy cores
+# (total busy minus the level's expected own footprint: `width` executor
+# threads + ~2 for driver/GC/Python workers) exceed 4. A replicate is
+# contended when more than 1/3 of its MEASURED (post-warm-up) epochs
+# are. Thresholds sit far from both modes observed in the r3/r4 raw
+# evidence: clean windows show steal < 0.005 and foreign < 1.5 cores;
+# the documented noise events (overlapping pytest, neighbor writeback)
+# burn 8-30 foreign cores for whole epochs.
+STEAL_FRAC_MAX = 0.02
+FOREIGN_CORES_MAX = 4.0
+
+
+def _contended(rep: dict, width: int, warmup: int) -> bool:
+    hosts = rep.get("epoch_host", [])[warmup:]
+    if not hosts:
+        return False
+    own = width + 2
+    bad = [
+        h for h in hosts
+        if h["steal_frac"] > STEAL_FRAC_MAX
+        or h["busy_cores"] - own > FOREIGN_CORES_MAX
+    ]
+    return 3 * len(bad) > len(hosts)
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def _scaling() -> None:
-    # Bigger epochs than the default bench: the scaling claim is only
-    # meaningful when per-epoch compute dominates fixed per-epoch cost
-    # (scheduling, commit, file listing) — matching a real cluster where an
-    # epoch is 10^7+ events, not 10^5.
+    """One protocol run of the r5 counterbalanced scaling protocol
+    (VERDICT r4 item 5; full prose in BENCH/BASELINE.md):
+
+    - A/B/B/A within the run: four back-to-back level-runs in fresh JVMs,
+      each level measured TWICE, order flipped by run-id parity — so
+      monotone host drift (cache warm-up, thermal, a neighbor ramping)
+      cancels within the run instead of biasing whichever level runs
+      second.
+    - Host contention recorded per epoch (/proc/stat steal + busy) and
+      replicates excluded by the `_contended` criterion; a run where BOTH
+      replicates of a level are contended is marked excluded_by_criterion
+      and `--scaling-agg` drops it.
+    - Bigger epochs than the default bench (2M events): the scaling claim
+      is only meaningful when per-epoch compute dominates fixed per-epoch
+      cost, matching a real cluster where an epoch is 10^7+ events.
+    """
     env = {
         **os.environ,
-        "SPARK_GRAFT_BENCH_EVENTS": os.environ.get("SPARK_GRAFT_SCALING_EVENTS", "12000000"),
-        "SPARK_GRAFT_BENCH_EPOCHS": "6",
+        "SPARK_GRAFT_BENCH_EVENTS": os.environ.get("SPARK_GRAFT_SCALING_EVENTS", "10000000"),
+        "SPARK_GRAFT_BENCH_EPOCHS": os.environ.get("SPARK_GRAFT_SCALING_EPOCHS", "5"),
     }
+    warmup = 2
     here = os.path.dirname(os.path.abspath(__file__))
-    # Pre-generate the shared input in a full-width subprocess so the two
+    # Pre-generate the shared input in a full-width subprocess so the
     # measured runs only read it.
     subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--gen-only"],
@@ -313,69 +398,86 @@ def _scaling() -> None:
     )
     n_lo = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
     n_hi = 4 * n_lo
-    levels = {}
-    for cpus in (n_lo, n_hi):
+    run_id = int(os.environ.get("SPARK_GRAFT_SCALING_RUN", "1"))
+    order = [n_lo, n_hi, n_hi, n_lo] if run_id % 2 else [n_hi, n_lo, n_lo, n_hi]
+    phases = []
+    for slot, cpus in enumerate(order):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--replay-only",
-             "--cpus", str(cpus), "--warmup", "2"],
+             "--cpus", str(cpus), "--warmup", str(warmup)],
             capture_output=True, text=True, check=True, cwd=here, env=env,
         )
-        levels[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
-    eff = levels[n_hi]["events_per_sec"] / (4 * levels[n_lo]["events_per_sec"])
+        rep = json.loads(out.stdout.strip().splitlines()[-1])
+        rep["slot"] = slot
+        rep["contended"] = _contended(rep, cpus, warmup)
+        phases.append(rep)
+
+    def level(cpus: int) -> tuple[float, int]:
+        reps = [p for p in phases if p["cpus"] == cpus]
+        clean = [p for p in reps if not p["contended"]]
+        used = clean or reps  # excluded runs still report a number
+        return sum(p["events_per_sec"] for p in used) / len(used), len(clean)
+
+    t_lo, clean_lo = level(n_lo)
+    t_hi, clean_hi = level(n_hi)
+    eff = t_hi / (4 * t_lo)
     report = {
-        f"local{n_lo}_events_per_sec": levels[n_lo]["events_per_sec"],
-        f"local{n_hi}_events_per_sec": levels[n_hi]["events_per_sec"],
+        "protocol": "r5-abba",
+        "run_id": run_id,
+        "order": [f"local[{c}]" for c in order],
+        f"local{n_lo}_events_per_sec": round(t_lo, 1),
+        f"local{n_hi}_events_per_sec": round(t_hi, 1),
         "scaling_efficiency": round(eff, 3),
-        "detail": levels,
+        "clean_replicates": {f"local{n_lo}": clean_lo, f"local{n_hi}": clean_hi},
+        "excluded_by_criterion": clean_lo == 0 or clean_hi == 0,
+        "detail": phases,
     }
     os.makedirs("BENCH", exist_ok=True)
-    # raw report only — BENCH/BASELINE.md is the curated narrative
-    # (floor decomposition, control runs) and is maintained by hand
-    with open("BENCH/SCALING_RUN.md", "w") as f:
-        f.write(_scaling_md(levels, eff, n_lo, n_hi))
-    print(json.dumps(report))
+    with open(f"BENCH/evidence_scaling_tmpfs_r5_run{run_id}.json", "w") as f:
+        json.dump(report, f, indent=1)
+    slim = {k: v for k, v in report.items() if k != "detail"}
+    print(json.dumps(slim))
 
 
-def _scaling_md(levels: dict, eff: float, n_lo: int = 2, n_hi: int = 8) -> str:
-    l8, l32 = levels[n_lo], levels[n_hi]
-    return f"""# BENCH — two-parallelism-level scaling evidence
+def _scaling_agg() -> None:
+    """Aggregate every r5-abba evidence file into the headline estimate:
+    median of included runs' efficiencies plus a trimmed mean (drop one
+    min and one max when n >= 4) — the trimmed estimator VERDICT r4
+    item 5 asked for, robust to a single bad draw in either tail."""
+    import glob
 
-Protocol per `BASELINE.md`: the north rule's N-vs-4N-executor criterion is
-evidenced by running the SAME CDC replay on the SAME deterministic input at
-two parallelism levels in fresh JVMs (no real cluster in this sandbox).
-
-- Input: {l8['events']:,} change events / {l8['epochs']} epochs, ~1 KB
-  bodies, {int(HOT_FRAC*100)}% of events on one hot repo (seeded, FIXTURES.md F2).
-- Sustained rate = epoch_events / median(post-warm-up epoch wall), the
-  median making the figure robust to single-epoch host-noise stragglers;
-  2 warm-up epochs excluded of {l8['epochs']}.
-- Identical driver memory and engine config at both levels; only
-  master/shuffle-partitions differ (local[{n_lo}]/{n_lo*8} vs local[{n_hi}]/{n_hi*8}).
-
-| level | master | events/sec (sustained) | median epoch s | per-epoch s | final rows |
-| --- | --- | --- | --- | --- | --- |
-| N | local[{n_lo}] | {l8['events_per_sec']:,} | {l8['median_epoch_sec']} | {l8['epoch_sec']} | {l8['final_rows']:,} |
-| 4N | local[{n_hi}] | {l32['events_per_sec']:,} | {l32['median_epoch_sec']} | {l32['epoch_sec']} | {l32['final_rows']:,} |
-
-**Scaling efficiency = tput(4N) / (4 x tput(N)) = {eff:.3f}** (target >= 0.8,
-BASELINE.json:L2,L14).
-
-Why N={n_lo}: this sandbox is ONE machine — one JVM, one page cache, one
-~500 MB/s virtio disk shared by every thread. Measured width-32 runs
-saturate those shared resources (local[32] sustains ~ the same events/sec
-as local[8], with high variance), which measures the box, not the engine.
-At local[{n_lo}] -> local[{n_hi}] the shared resources are not the binding
-constraint, so the ratio reflects the engine's parallel decomposition
-(key-partitioned shuffles, per-bucket writes) — the thing that holds on a
-real cluster where 4N executors bring 4N disks and NICs with them. The
-width-32 saturation numbers are reported by `python bench.py --replay-only
---cpus 32` for transparency.
-"""
+    runs = []
+    for path in sorted(glob.glob("BENCH/evidence_scaling_tmpfs_r5_run*.json")):
+        with open(path) as f:
+            runs.append(json.load(f))
+    if not runs:
+        print(json.dumps({"error": "no r5 evidence files under BENCH/"}))
+        return
+    included = [r for r in runs if not r.get("excluded_by_criterion")]
+    effs = sorted(r["scaling_efficiency"] for r in included)
+    trimmed = effs[1:-1] if len(effs) >= 4 else effs
+    out = {
+        "protocol": "r5-abba",
+        "runs_total": len(runs),
+        "runs_included": len(included),
+        "excluded_run_ids": [
+            r["run_id"] for r in runs if r.get("excluded_by_criterion")
+        ],
+        "per_run_efficiency": {
+            str(r["run_id"]): r["scaling_efficiency"] for r in runs
+        },
+        "median_efficiency": round(_median(effs), 3) if effs else None,
+        "trimmed_mean_efficiency": (
+            round(sum(trimmed) / len(trimmed), 3) if trimmed else None
+        ),
+    }
+    print(json.dumps(out, indent=1))
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-agg", action="store_true")
     ap.add_argument("--replay-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--skip-replay", action="store_true")
@@ -386,6 +488,9 @@ def main() -> None:
 
     if args.scaling:
         _scaling()
+        return
+    if args.scaling_agg:
+        _scaling_agg()
         return
     if args.gen_only:
         from foundry_es_spark.session import get_spark
