@@ -25,6 +25,65 @@ EVENTS_DDL = (
 )
 
 
+def _nullable_pa_type(t):
+    """Rebuild a pyarrow type with every (nested) field nullable.
+
+    ``DataFrame.toArrow()`` preserves Spark's not-null markers (window
+    structs are non-null), but PySpark's ``createDataFrame(pa.Table)``
+    localizes struct-of-timestamp columns by rebuilding them with
+    *nullable* children and then force-casts back to the original
+    non-null schema — which pyarrow refuses (nullable → non-nullable
+    cast). Casting the table all-nullable up front sidesteps that; the
+    driver's schema check compares names+types against DuckDB, never
+    nullability.
+    """
+    import pyarrow as pa
+
+    if pa.types.is_struct(t):
+        return pa.struct(
+            [pa.field(f.name, _nullable_pa_type(f.type), nullable=True) for f in t]
+        )
+    if pa.types.is_list(t):
+        return pa.list_(pa.field("item", _nullable_pa_type(t.value_type), nullable=True))
+    if pa.types.is_map(t):
+        return pa.map_(_nullable_pa_type(t.key_type), _nullable_pa_type(t.item_type))
+    return t
+
+
+def _detach_view(spark: SparkSession, name: str) -> DataFrame:
+    """Materialize a memory-sink temp view into a standalone DataFrame and
+    drop the view.
+
+    Catalog/block hygiene (memory sinks register one temp view per run;
+    the earlier localCheckpoint detach pinned its blocks for the session's
+    lifetime — a storage-memory leak) without the r4 ``collect()`` +
+    ``createDataFrame(rows)`` cost: per-Row Python serialization was
+    ~1.75 s of q20b's 2.48 s marginal at sf0.1 (~98k rows). The Arrow
+    round-trip (``toArrow()`` → ``createDataFrame(pa.Table)``) moves the
+    same data columnar, ~3.4× faster, and still leaves no pinned blocks.
+    Falls back to the row path for types Arrow can't carry.
+    """
+    import pyarrow as pa
+
+    tbl = spark.table(name)
+    try:
+        pat = tbl.toArrow()
+        pat = pat.cast(
+            pa.schema(
+                [
+                    pa.field(f.name, _nullable_pa_type(f.type), nullable=True)
+                    for f in pat.schema
+                ]
+            )
+        )
+        out = spark.createDataFrame(pat)
+    except Exception:
+        rows, schema = tbl.collect(), tbl.schema
+        out = spark.createDataFrame(rows, schema)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 def _events_stream_dir(sf: str) -> str:
     """The file stream source needs a DIRECTORY; testdata ships one parquet
     file per table (read-only). Expose it through a symlink dir in /tmp."""
@@ -80,15 +139,10 @@ def _run_stream(
         )
         q.awaitTermination()
         # Catalog hygiene: the memory sink registers a temp view per run;
-        # detach the result from the catalog by collecting it (results
-        # here are small bounded aggregates) and drop the view, so
-        # repeated harness invocations accumulate neither q_<uuid> tables
-        # nor pinned blocks (the previous localCheckpoint detach held its
-        # blocks for the session's lifetime — a storage-memory leak).
-        tbl = spark.table(name)
-        rows, schema = tbl.collect(), tbl.schema
-        spark.catalog.dropTempView(name)
-        return spark.createDataFrame(rows, schema)
+        # detach the result (Arrow round-trip — see _detach_view) and drop
+        # the view, so repeated harness invocations accumulate neither
+        # q_<uuid> tables nor pinned blocks.
+        return _detach_view(spark, name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
@@ -461,11 +515,9 @@ def q23c_stream_stream_join(spark, sf):
         )
         q.awaitTermination()
         # detach from the catalog (join output is bounded by the interval
-        # predicate — clicks x purchases within 10 min per user)
-        tbl = spark.table(name)
-        rows, schema = tbl.collect(), tbl.schema
-        spark.catalog.dropTempView(name)
-        return spark.createDataFrame(rows, schema)
+        # predicate — clicks x purchases within 10 min per user); Arrow
+        # round-trip keeps the driver hop columnar rather than per-Row
+        return _detach_view(spark, name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
