@@ -606,6 +606,83 @@ GROUP BY cluster_id, d.n_chars
 """
 
 
+# ------------------------------------------------- repeated n-gram mask
+
+
+def dedup_repeated_ngrams(spark, sf, k: int = 8):
+    """Cross-document repeated-substring detection at k-token granularity —
+    the Spark shape of exact-substring training-set dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": mask every
+    span that occurs verbatim elsewhere in the corpus; here spans are
+    k-grams, the granularity the suffix-array approach reduces to after
+    minimal-match-length clipping). Output: one row per document that
+    contains at least one k-gram also present in ANOTHER document —
+    (doc_id, n_grams, n_repeated gram positions, repeated_bp share).
+
+    Unlike :func:`text_decontaminate` (tiny broadcast eval side), the
+    repeated-gram set is corpus-sized, so this is the honest three-exchange
+    shape and cannot be less:
+
+    1. per-gram exchange for the distinct-document count (dedupe
+       (g, doc_id) first so the count(*) HAVING >= 2 is a cheap second-level
+       fold — partial map-side combine collapses a doc's internal
+       repetitions before anything moves);
+    2. shuffled equi-join of gram positions against the repeated-gram set
+       (NOT broadcastable: duplicate mass at 100 TB is itself TB-scale);
+    3. the per-doc aggregate (small — only hit rows survive the join).
+
+    At production scale the join/agg key is ``xxhash64(g)`` (8 bytes
+    instead of a ~50-byte string; ~n²/2⁶⁴ collision odds); the string key
+    is kept here so the DuckDB twin can replay it exactly. The gram
+    pipeline reuses decon_tokens/decon_grams and inherits both documented
+    plan-trap fixes (clamped sequence bound, non-nullable join key)."""
+    from foundry_es_spark.queries.textstats import decon_grams, decon_tokens
+
+    d = table(spark, sf, "documents")
+    pos = decon_grams(decon_tokens(d, k), k)
+    repeated = (
+        pos.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("g")
+    )
+    return (
+        pos.join(repeated, "g")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_repeated"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_repeated",
+            F.floor((F.col("n_repeated") * 10000) / F.col("n_grams"))
+            .cast("bigint")
+            .alias("repeated_bp"),
+        )
+    )
+
+
+DEDUP_REPEATED_NGRAMS_SQL = r"""
+WITH grams AS (
+  SELECT doc_id, CAST(len(w) - 7 AS BIGINT) AS n_grams,
+         [array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 7 + 1)] AS gs
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents)
+  WHERE len(w) >= 8
+),
+pos AS (SELECT doc_id, n_grams, unnest(gs) AS g FROM grams),
+rep AS (
+  SELECT g FROM (SELECT DISTINCT g, doc_id FROM pos)
+  GROUP BY g HAVING count(*) >= 2
+)
+SELECT doc_id, n_grams, CAST(count(*) AS BIGINT) AS n_repeated,
+       CAST(count(*) * 10000 // n_grams AS BIGINT) AS repeated_bp
+FROM pos JOIN rep USING (g)
+GROUP BY doc_id, n_grams
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_keep_first": dedup_exact_keep_first,
@@ -615,6 +692,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_repeated_ngrams": dedup_repeated_ngrams,
 }
 
 ORACLES = {
@@ -623,4 +701,5 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_cluster": DEDUP_CLUSTER_SQL,
     "dedup_cluster_collapse": DEDUP_CLUSTER_COLLAPSE_SQL,
+    "dedup_repeated_ngrams": DEDUP_REPEATED_NGRAMS_SQL,
 }

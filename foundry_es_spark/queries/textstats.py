@@ -661,6 +661,91 @@ GROUP BY doc_id, n_grams
 """
 
 
+# --------------------------------------------------------- PII scrubbing
+
+# One definition, shared verbatim by the Spark plan and the DuckDB twin —
+# restricted to the RE2 ∩ java.util.regex common subset (no lookaround, no
+# backreferences) so both engines compile the identical automaton.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+_PII_PHONE = r"\b555-\d{3}-\d{4}\b"
+
+
+def _pii_content_expr():
+    """Deterministic PII injection: the synthetic corpus carries no PII
+    (word-salad text, TESTDATA.md), so the scrub is exercised against a
+    contact trailer derived purely from (doc_id) — the fixture convention
+    used across this suite (FIXTURES.md: fixtures are pure functions of
+    the key). Counts are data-dependent (extra email every 3rd doc, extra
+    IP every 7th) so the oracle checks real variation, not a constant."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did, F.lit("@example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".0.1 call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-0199"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cc admin@corp.org")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" peer 192.168.1.77")).otherwise(F.lit("")),
+    )
+
+
+def text_pii_scrub(spark, sf):
+    """PII redaction — the privacy pass every public training-data pipeline
+    runs before release (the Dolma/CCNet shape: regex families for email /
+    IP / phone, masked in place, with per-document match counts kept for
+    audit). One narrow projection, zero shuffle, zero Python: counting is
+    ``regexp_extract_all`` + ``size``, masking is a chain of three
+    ``regexp_replace`` — all whole-stage-codegen string expressions, so at
+    100 TB this runs at scan speed with full column pruning (only
+    (doc_id, text) leave the parquet reader). The full scrubbed string is
+    returned so the oracle pins exact replacement semantics (every
+    occurrence, left-to-right), not just the counts."""
+    d = table(spark, sf, "documents")
+    content = _pii_content_expr()
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(content, _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4, "<IP>",
+        ),
+        _PII_PHONE, "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(content, F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(content, F.lit(_PII_IPV4), F.lit(0)))
+        .cast("bigint").alias("n_ipv4"),
+        F.size(F.regexp_extract_all(content, F.lit(_PII_PHONE), F.lit(0)))
+        .cast("bigint").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+TEXT_PII_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.1 call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-0199'
+              || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.org' ELSE '' END
+              || CASE WHEN doc_id % 7 = 0 THEN ' peer 192.168.1.77' ELSE '' END
+           AS content
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(content, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(content, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(content, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(content,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4}', '<IP>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+FROM c
+"""
+
+
 QUERIES = {
     "dats_nested_metadata": dats_nested_metadata,
     "text_quality_score": text_quality_score,
@@ -673,6 +758,7 @@ QUERIES = {
     "text_chunk_windows": text_chunk_windows,
     "text_decontaminate": text_decontaminate,
     "text_pack_sequences": text_pack_sequences,
+    "text_pii_scrub": text_pii_scrub,
 }
 
 LANG_CONFUSION_SQL = f"""
@@ -691,4 +777,5 @@ ORACLES = {
     "text_repetition_topgram": TEXT_REPETITION_SQL,
     "text_chunk_windows": TEXT_CHUNK_SQL,
     "text_decontaminate": TEXT_DECONTAMINATE_SQL,
+    "text_pii_scrub": TEXT_PII_SQL,
 }
