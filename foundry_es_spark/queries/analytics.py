@@ -706,12 +706,71 @@ SELECT doc_id, source, lang, n_tokens, CAST(rk AS BIGINT) AS rk FROM (
 """
 
 
+def sample_stratified_split(spark, sf):
+    """Deterministic stratified train/val/test assignment — the split every
+    training pipeline needs to be REPRODUCIBLE across re-runs, engines, and
+    repartitioning. Each document's split is a pure row function (md5 of
+    the doc id, leading nibble: 0-b train ≈ 75 %, c-d val ≈ 12.5 %, e-f
+    test ≈ 12.5 %), so membership never depends on row order or partition
+    count, and a doc never migrates between splits when the corpus grows —
+    unlike randomSplit(), whose assignment changes with partitioning.
+
+    Output: per (lang, split) document counts, char mass, and the split's
+    share of its language stratum in integer basis points (floor of an
+    IEEE-exact double quotient — same convention as
+    sample_deterministic_hash). The per-stratum share is computed with a
+    window over the stratum, one exchange on (lang); the stratum totals
+    stay in-plan (no second scan, no driver round-trip).
+    """
+    docs = table(spark, sf, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib.isin(*[format(i, "x") for i in range(12)]), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    per = (
+        docs.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+    stratum = W.partitionBy("lang")
+    return per.withColumn(
+        "split_bp",
+        F.floor(F.col("n_docs") * 10000 / F.sum("n_docs").over(stratum)).cast(
+            "bigint"
+        ),
+    )
+
+
+STRATIFIED_SPLIT_SQL = """
+WITH per AS (
+  SELECT lang,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+              THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+              THEN 'val' ELSE 'test' END AS split,
+         count(*) AS n_docs, sum(n_chars) AS sum_chars
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang, split, n_docs, sum_chars,
+       CAST(floor(n_docs * 10000.0 / sum(n_docs) OVER (PARTITION BY lang))
+            AS BIGINT) AS split_bp
+FROM per
+"""
+
+
 QUERIES = {
     "q34_sessionize_batch": q34_sessionize_batch,
     "q35_funnel_stages": q35_funnel_stages,
     "q36_retention_cohorts": q36_retention_cohorts,
     "text_tfidf_topk": text_tfidf_topk,
     "sample_deterministic_hash": sample_deterministic_hash,
+    "sample_stratified_split": sample_stratified_split,
     "corpus_mix_budget": corpus_mix_budget,
     "corpus_domain_cap": corpus_domain_cap,
     "q37_date_spine": q37_date_spine,
@@ -727,6 +786,7 @@ ORACLES = {
     "q36_retention_cohorts": Q36_SQL,
     "text_tfidf_topk": TFIDF_SQL,
     "sample_deterministic_hash": SAMPLE_SQL,
+    "sample_stratified_split": STRATIFIED_SPLIT_SQL,
     "corpus_mix_budget": MIX_SQL,
     "corpus_domain_cap": DOMAIN_CAP_SQL,
     "q37_date_spine": Q37_SQL,

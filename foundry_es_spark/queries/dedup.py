@@ -683,6 +683,114 @@ GROUP BY doc_id, n_grams
 """
 
 
+# ----------------------------------------------------- segment scrub
+
+
+def dedup_segment_scrub(spark, sf, seg_tokens: int = 8):
+    """CCNet/RefinedWeb-style duplicated-segment REMOVAL with document
+    reconstruction: split each document into non-overlapping
+    ``seg_tokens``-token segments, drop every segment whose text occurs
+    in at least one OTHER document, and reassemble the surviving segments
+    in order. Where :func:`dedup_repeated_ngrams` only *reports* repeated
+    spans, this emits the cleaned corpus — the actual output a training
+    pipeline ships.
+
+    Scale shape (same honest three exchanges as repeated-ngrams, and it
+    cannot be fewer because the duplicate-segment set is corpus-sized):
+
+    1. segment exchange for the distinct-document count (map-side combine
+       collapses within-doc repeats first);
+    2. shuffled equi-join of segment positions against the duplicated set
+       (not broadcastable at 100 TB — duplicate mass is TB-scale);
+    3. one per-doc aggregate that rebuilds the text: ``collect_list``
+       skips NULLs, so kept segments ride through as (pos, seg) structs,
+       ``array_sort`` restores document order JVM-side, ``array_join``
+       re-concatenates — reconstruction costs no extra exchange beyond
+       the aggregate itself and never touches Python.
+
+    At production scale the join key is ``xxhash64(seg)``; the string key
+    is kept so the DuckDB twin replays it exactly (same convention as
+    dedup_repeated_ngrams).
+    """
+    d = table(spark, sf, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_seg = (F.floor((F.size("w") - 1) / seg_tokens) + 1).cast("int")
+    segs = (
+        d.select("doc_id", w.alias("w"))
+        .where(F.size("w") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.concat_ws(
+                " ", F.slice("w", F.col("i") * seg_tokens + 1, seg_tokens)
+            ).alias("seg"),
+        )
+    )
+    dup = (
+        segs.select("seg", "doc_id")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("seg", F.lit(True).alias("_dup"))
+    )
+    return (
+        segs.join(dup, "seg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("_dup"), 1).otherwise(0)).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_dup").isNull(),
+                                F.struct(
+                                    F.col("i").alias("i"), F.col("seg").alias("s")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+DEDUP_SEGMENT_SCRUB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, i, array_to_string(w[i*8+1:i*8+8], ' ') AS seg
+  FROM toks, UNNEST(range(0, (len(w)-1)//8 + 1)) AS t(i)
+  WHERE len(w) > 0
+),
+dup AS (
+  SELECT seg FROM (SELECT DISTINCT seg, doc_id FROM segs)
+  GROUP BY seg HAVING count(*) >= 2
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN d.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       coalesce(
+         string_agg(CASE WHEN d.seg IS NULL THEN s.seg END, ' ' ORDER BY s.i),
+         '') AS cleaned_text
+FROM segs s LEFT JOIN dup d ON s.seg = d.seg
+GROUP BY s.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_keep_first": dedup_exact_keep_first,
@@ -693,6 +801,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
+    "dedup_segment_scrub": dedup_segment_scrub,
 }
 
 ORACLES = {
@@ -702,4 +811,5 @@ ORACLES = {
     "dedup_cluster": DEDUP_CLUSTER_SQL,
     "dedup_cluster_collapse": DEDUP_CLUSTER_COLLAPSE_SQL,
     "dedup_repeated_ngrams": DEDUP_REPEATED_NGRAMS_SQL,
+    "dedup_segment_scrub": DEDUP_SEGMENT_SCRUB_SQL,
 }

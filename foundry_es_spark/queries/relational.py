@@ -803,6 +803,49 @@ FROM e ASOF LEFT JOIN o
 """
 
 
+# -------------------------------------------------------------------- Q42
+
+def q42_temporal_snapshot(spark, sf, as_of: str = "2024-01-15 00:00:00"):
+    """Point-in-time snapshot from an append-only change feed — "what was
+    every user's state AS OF time T" (the temporal-table query a CDC
+    consumer runs against the raw event log when the materialized table
+    only holds latest state; complements q6's latest-overall and q31's
+    full SCD2 history with the third temporal primitive: state at a fixed
+    instant).
+
+    Plan: the ``ts <= T`` predicate is applied BEFORE the per-key window,
+    so it pushes to the parquet scan (row groups entirely after T are
+    pruned via footer min/max — at 100 TB on a time-partitioned log this
+    is partition pruning and the window only ever sees the prefix); one
+    exchange on user_id for the row_number. The same shape back-tests any
+    historical instant without a second copy of the data.
+    """
+    e = table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.where(F.col("ts") <= F.lit(as_of).cast("timestamp"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value_r"),
+            F.max("ts").alias("latest_ts"),
+        )
+    )
+
+
+Q42_SQL = """
+SELECT event_type, count(*) AS n_users,
+       round(sum(value), 2) AS sum_value_r,
+       max(ts) AS latest_ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) rn
+      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+WHERE rn = 1 GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q1_scan_filter": q1_scan_filter,
     "q2_join_orders_customer": q2_join_orders_customer,
@@ -832,6 +875,7 @@ QUERIES = {
     "q32_range_frame_window": q32_range_frame_window,
     "q33_scalar_subquery": q33_scalar_subquery,
     "q41_asof_join": q41_asof_join,
+    "q42_temporal_snapshot": q42_temporal_snapshot,
 }
 
 ORACLES = {
@@ -863,4 +907,5 @@ ORACLES = {
     "q32_range_frame_window": Q32_SQL,
     "q33_scalar_subquery": Q33_SQL,
     "q41_asof_join": Q41_SQL,
+    "q42_temporal_snapshot": Q42_SQL,
 }
