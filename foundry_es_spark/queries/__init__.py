@@ -47,11 +47,18 @@ _BOARD_PRIORITY = [
     "q19_stream_tumbling_agg", "q20_stream_sliding_agg", "q20b_session_windows",
     "q21_stream_watermarked_agg", "q22_stream_dedup", "q23_stream_static_join",
     "q23b_stream_stateful_custom", "q23c_stream_stream_join",
-    # UDF / grouped-map (Q24–Q25)
-    "q24_vectorized_udf", "q24b_vectorized_scale", "q25_grouped_map",
-    "q25b_map_in_pandas",
-    # dedup family
-    "dedup_exact", "dedup_exact_keep_first", "dedup_ngram_jaccard",
+    # UDF / grouped-map (Q24–Q25) — one representative each; the q24b/q25b
+    # siblings sit past the cap (same UDF plumbing, different kernel)
+    "q24_vectorized_udf", "q25_grouped_map",
+    # round-5 families with no prior board representative: time travel
+    # (as-of-instant state reconstruction over the event log) and
+    # reproducible stratified splitting — each is its own semantic family,
+    # not a sibling of anything already on the board
+    "q42_temporal_snapshot", "sample_stratified_split",
+    # dedup family (keep_first sits past the cap — same kernel as
+    # dedup_exact with a different tie-break; segment scrub is a distinct
+    # semantic: duplicated-segment REMOVAL with document reconstruction)
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_segment_scrub",
     "dedup_cluster", "dedup_cluster_collapse",
     # similarity family
     "ann_bruteforce_topk", "embedding_cosine_near_dup",
@@ -70,11 +77,16 @@ _BOARD_PRIORITY = [
     # strictly stronger evidence for one row (VERDICT r4 item 3)
     "multimodal_decode_ppm", "corpus_curate_e2e",
     # past the driver's 50-row cap: family siblings already proven above
-    # (text_lang_confusion by text_lang_id; the corpus caps by
+    # (q24b/q25b by q24/q25; keep_first by dedup_exact;
+    # text_lang_confusion by text_lang_id; the corpus caps by
     # corpus_curate_e2e which ends in a domain cap; multimodal_features /
-    # multimodal_decode_wav by multimodal_decode_ppm)
+    # multimodal_decode_wav by multimodal_decode_ppm; text_pii_scrub /
+    # dedup_repeated_ngrams by the regex-projection and shingle-join
+    # rows already on the board)
+    "q24b_vectorized_scale", "q25b_map_in_pandas", "dedup_exact_keep_first",
     "multimodal_decode_wav", "multimodal_features",
     "text_lang_confusion", "corpus_domain_cap", "corpus_mix_budget",
+    "text_pii_scrub", "dedup_repeated_ngrams",
 ]
 
 
